@@ -1,0 +1,104 @@
+"""DeltaDINO: the per-video CNN feature refiner.
+
+A 4-layer CNN (3→64→128→256→1024, k=5, reflect pad, dilation [1,1,1,2],
+BlurPool ×3 → total stride 8) whose output is resampled onto the ViT feature
+grid and added as a residual to the raw DINO features. The last conv is
+zero-initialized and the last BN γ=0.05 so training starts as the identity
+refiner. Behavior spec: reference models/networks/delta_dino.py:7-61 and
+models/utils.py:7-45 (``align_cnn_vit_features``).
+
+TPU design: the whole stack is one jitted NHWC conv chain (frames batched on
+the leading axis and shardable across chips); the CNN→ViT alignment is a
+single fused bilinear gather.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+from ..utils.sampling import grid_sample_nchw
+
+
+CHANNELS = (3, 64, 128, 256, 1024)
+DILATIONS = (1, 1, 1, 2)
+DOWNSAMPLE = (True, True, True, False)
+KERNEL_SIZE = 5
+DOWN_STRIDE = 2
+
+
+def total_stride() -> int:
+    return DOWN_STRIDE ** sum(DOWNSAMPLE)
+
+
+def init_delta_dino(key, channels=CHANNELS, dtype=jnp.float32):
+    """Param/batch-stat pytrees. Layer i = conv + BN (+ ReLU if not last)
+    (+ BlurPool if DOWNSAMPLE[i]). ``channels[-1]`` must equal the DINO
+    embedding dim (1024 for ViT-L)."""
+    params, stats = [], []
+    keys = jax.random.split(key, len(channels) - 1)
+    for i in range(len(channels) - 1):
+        is_last = i == len(channels) - 2
+        conv = nn.kaiming_uniform_conv(keys[i], channels[i + 1], channels[i],
+                                       KERNEL_SIZE, KERNEL_SIZE, dtype)
+        if is_last:  # zero-init: refiner starts as identity residual
+            conv = {"w": jnp.zeros_like(conv["w"]), "b": jnp.zeros_like(conv["b"])}
+        bn_params, bn_stats = nn.init_batchnorm(
+            channels[i + 1], gamma=0.05 if is_last else 1.0, dtype=dtype)
+        params.append({"conv": conv, "bn": bn_params})
+        stats.append(bn_stats)
+    return {"layers": params}, {"layers": stats}
+
+
+def align_cnn_vit_features(vit_hw: Tuple[int, int], cnn_features_nchw,
+                           vit_patch_size: int = 14, vit_stride: int = 7,
+                           cnn_stride: int = 8):
+    """Bilinear-resample CNN features onto the ViT patch-center grid.
+
+    Exact reference grid math (models/utils.py:7-45): CNN feature (i, j) sits
+    at pixel (i*cnn_stride, j*cnn_stride); ViT feature k at
+    k*vit_stride + patch/2; normalized with an extra -1/c_br half-texel shift.
+    """
+    vh, vw = vit_hw
+    c_sz = cnn_features_nchw.shape[-2:]
+    c_br = [(s - 1) * cnn_stride for s in c_sz]
+    vit_x = jnp.arange(vw, dtype=jnp.float32) * vit_stride + vit_patch_size / 2.0
+    vit_y = jnp.arange(vh, dtype=jnp.float32) * vit_stride + vit_patch_size / 2.0
+    gx = -1.0 - (1.0 / c_br[1]) + (2.0 * vit_x / c_br[1])
+    gy = -1.0 - (1.0 / c_br[0]) + (2.0 * vit_y / c_br[0])
+    gxx, gyy = jnp.meshgrid(gx, gy)  # vh×vw
+    grid = jnp.stack([gxx, gyy], axis=-1)[None]
+    grid = jnp.broadcast_to(grid, (cnn_features_nchw.shape[0],) + grid.shape[1:])
+    grid = jax.lax.stop_gradient(grid)
+    return grid_sample_nchw(cnn_features_nchw, grid, align_corners=True,
+                            padding_mode="border", mode="bilinear")
+
+
+def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
+                     train: bool, vit_stride: int = 7, vit_patch_size: int = 14):
+    """frames: N×3×H×W in [0,1] -> residual features N×C×vh×vw.
+
+    Returns (residual, new_batch_stats).
+    """
+    x = nn.nchw_to_nhwc(frames_nchw)
+    new_stats = []
+    n_layers = len(params["layers"])
+    for i, (layer, stats) in enumerate(zip(params["layers"], batch_stats["layers"])):
+        is_last = i == n_layers - 1
+        dilation = DILATIONS[i]
+        padding = (KERNEL_SIZE + (KERNEL_SIZE - 1) * (dilation - 1)) // 2
+        x = nn.conv2d(x, layer["conv"], stride=1, dilation=dilation,
+                      padding=padding, padding_mode="reflect")
+        x, s = nn.batchnorm(x, layer["bn"], stats, train=train)
+        new_stats.append(s)
+        if not is_last:
+            x = jax.nn.relu(x)
+        if DOWNSAMPLE[i]:
+            x = nn.blurpool(x, stride=DOWN_STRIDE)
+    x = nn.nhwc_to_nchw(x)
+    x = align_cnn_vit_features(vit_hw, x, vit_patch_size, vit_stride,
+                               cnn_stride=total_stride())
+    return x, {"layers": new_stats}

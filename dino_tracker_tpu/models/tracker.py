@@ -1,0 +1,181 @@
+"""Tracker core: refined embeddings -> correlation maps -> coordinates.
+
+Functional redesign of the reference Tracker (models/tracker.py:17-325): no
+module state or side-channel attributes — every function is pure over
+(params, batch_stats, video, dino_embed) and jit/vmap/pjit-friendly. The
+correlation ``einsum('bc,nchw->bnhw')`` is the MXU hot path: a B×C by
+C×(N·H'·W') matmul in one shot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import delta_dino as dd
+from . import tracker_head as th
+from ..utils import coords as coord_utils
+from ..utils.sampling import sample_feature_video
+from ..config import feature_grid_size
+
+EPS = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    video_h: int = 476
+    video_w: int = 854
+    dino_patch_size: int = 14
+    stride: int = 7
+    argmax_radius: float = 35.0
+
+    @property
+    def feat_hw(self) -> Tuple[int, int]:
+        return feature_grid_size(self.video_h, self.video_w,
+                                 self.dino_patch_size, self.stride)
+
+
+class TrackerInput(NamedTuple):
+    """One batch of point-prediction queries.
+
+    source_points: B×3 (x, y, t) pixel coords (t unused after normalization —
+      the frame is given by ``source_frame_indices`` into ``frames_set_t``).
+    source_frame_indices / target_frame_indices: B indices into frames_set_t.
+    frames_set_t: N absolute frame indices of the embedded frame set.
+    """
+    source_points: jnp.ndarray
+    source_frame_indices: jnp.ndarray
+    target_frame_indices: jnp.ndarray
+    frames_set_t: jnp.ndarray
+
+
+def init_tracker(key, cfg: TrackerConfig):
+    k1, k2 = jax.random.split(key)
+    dd_params, dd_stats = dd.init_delta_dino(k1)
+    params = {"delta_dino": dd_params, "tracker_head": th.init_tracker_head(k2)}
+    batch_stats = {"delta_dino": dd_stats}
+    return params, batch_stats
+
+
+def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
+                           frames_set_t, cfg: TrackerConfig, train: bool):
+    """Refined = raw DINO + DeltaDINO residual for the frame set.
+
+    Returns (refined N×C×h'×w', residual, raw, new_batch_stats).
+    Reference models/tracker.py:113-129 (the 8-frame chunking there is a GPU
+    memory workaround; on TPU the whole set is one batched conv).
+    """
+    raw = dino_embed_tchw[frames_set_t]
+    frames = video_tchw[frames_set_t]
+    residual, new_dd_stats = dd.apply_delta_dino(
+        params["delta_dino"], batch_stats["delta_dino"], frames, cfg.feat_hw,
+        train=train, vit_stride=cfg.stride, vit_patch_size=cfg.dino_patch_size)
+    refined = raw + residual
+    return refined, residual, raw, {"delta_dino": new_dd_stats}
+
+
+def sample_embeddings(embeddings_nchw, points_b3):
+    """Trilinear-sample the embedded frame set at B (x_norm, y_norm,
+    frame_idx) points -> B×C (reference models/tracker.py:96-111)."""
+    return sample_feature_video(embeddings_nchw, points_b3, normalize_t=True)
+
+
+def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
+                  target_frame_indices_b):
+    """Cosine correlation of each source embedding against its target frame.
+
+    Computes the full B×N map stack as one MXU matmul then selects the target
+    row (cheaper than gathering B full frames). Reference
+    models/tracker.py:158-169.
+    """
+    n, c, h, w = frame_embeddings_nchw.shape
+    frames_flat = frame_embeddings_nchw.reshape(n, c, h * w)
+    corr_all = jnp.einsum("bc,nck->bnk", source_embeddings_bc, frames_flat,
+                          preferred_element_type=jnp.float32)  # B×N×(hw)
+    tgt = target_frame_indices_b.astype(jnp.int32)
+    corr = jnp.take_along_axis(corr_all, tgt[:, None, None], axis=1)[:, 0]  # B×hw
+
+    frame_norms = jnp.linalg.norm(frames_flat, axis=1)  # N×hw
+    target_norms = frame_norms[tgt]  # B×hw
+    source_norms = jnp.linalg.norm(source_embeddings_bc, axis=1)[:, None]
+    corr = corr / jnp.clip(source_norms * target_norms, min=EPS)
+    return corr.reshape(-1, 1, h, w)
+
+
+def get_point_predictions_from_embeddings(params, source_embeddings,
+                                          frame_embeddings, target_frame_indices,
+                                          cfg: TrackerConfig):
+    corr_maps = get_corr_maps(source_embeddings, frame_embeddings,
+                              target_frame_indices)
+    corr_maps = jax.nn.relu(corr_maps)
+    return th.apply_tracker_head(params["tracker_head"], corr_maps,
+                                 (cfg.video_h, cfg.video_w),
+                                 cfg.dino_patch_size, cfg.stride,
+                                 cfg.argmax_radius)
+
+
+def get_point_predictions(params, inp: TrackerInput, frame_embeddings,
+                          cfg: TrackerConfig):
+    """source points (pixel x, y, ·) -> predicted target coords in (-1, 1)."""
+    pts = coord_utils.normalize_points_for_sampling(
+        inp.source_points, cfg.video_h, cfg.video_w, cfg.dino_patch_size,
+        cfg.stride)
+    pts = jnp.concatenate(
+        [pts[:, :2], inp.source_frame_indices[:, None].astype(pts.dtype)], axis=1)
+    source_embeddings = sample_embeddings(frame_embeddings, pts)
+    return get_point_predictions_from_embeddings(
+        params, source_embeddings, frame_embeddings, inp.target_frame_indices, cfg)
+
+
+class ForwardAux(NamedTuple):
+    frame_embeddings: jnp.ndarray  # refined, N×C×h'×w'
+    raw_embeddings: jnp.ndarray    # N×C×h'×w'
+    batch_stats: dict
+
+
+def forward(params, batch_stats, video_tchw, dino_embed_tchw,
+            inp: TrackerInput, cfg: TrackerConfig, train: bool,
+            use_raw_features: bool = False,
+            refined_cache: Optional[jnp.ndarray] = None):
+    """Full tracker forward (reference models/tracker.py:303-325).
+
+    Returns (coords B×2 in (-1,1), ForwardAux). Embeddings are returned
+    explicitly instead of stashed on the module (the reference's
+    ``self.frame_embeddings`` side-channel) so loss terms stay pure.
+    """
+    if use_raw_features:
+        raw = dino_embed_tchw[inp.frames_set_t]
+        frame_embeddings = raw
+        new_stats = batch_stats
+    elif refined_cache is not None:
+        frame_embeddings = refined_cache[inp.frames_set_t]
+        raw = dino_embed_tchw[inp.frames_set_t]
+        new_stats = batch_stats
+    else:
+        frame_embeddings, _, raw, new_stats = get_refined_embeddings(
+            params, batch_stats, video_tchw, dino_embed_tchw,
+            inp.frames_set_t, cfg, train)
+    coords = get_point_predictions(params, inp, frame_embeddings, cfg)
+    return coords, ForwardAux(frame_embeddings, raw, new_stats)
+
+
+def cache_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
+                             cfg: TrackerConfig, frames_chunk: int = 16):
+    """Inference-time cache: refined features for ALL frames (eval-mode BN).
+
+    Chunked over frames to bound peak activation memory on long videos
+    (reference models/tracker.py:131-135).
+    """
+    t = video_tchw.shape[0]
+    chunks = []
+    refine = jax.jit(
+        lambda fs: get_refined_embeddings(params, batch_stats, video_tchw,
+                                          dino_embed_tchw, fs, cfg,
+                                          train=False)[0])
+    for start in range(0, t, frames_chunk):
+        idx = jnp.arange(start, min(start + frames_chunk, t))
+        chunks.append(refine(idx))
+    return jnp.concatenate(chunks, axis=0)
