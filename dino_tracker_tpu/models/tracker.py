@@ -31,6 +31,7 @@ class TrackerConfig:
     dino_patch_size: int = 14
     stride: int = 7
     argmax_radius: float = 35.0
+    delta_channels: Tuple[int, ...] = (3, 64, 128, 256, 1024)
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -54,7 +55,7 @@ class TrackerInput(NamedTuple):
 
 def init_tracker(key, cfg: TrackerConfig):
     k1, k2 = jax.random.split(key)
-    dd_params, dd_stats = dd.init_delta_dino(k1)
+    dd_params, dd_stats = dd.init_delta_dino(k1, channels=cfg.delta_channels)
     params = {"delta_dino": dd_params, "tracker_head": th.init_tracker_head(k2)}
     batch_stats = {"delta_dino": dd_stats}
     return params, batch_stats

@@ -1,0 +1,145 @@
+"""Best-buddy contrastive losses.
+
+Two InfoNCE terms over the refined feature video (reference
+dino_tracker.py:159-330):
+  * ``dino_bb``: supervision pairs precomputed from raw DINO features,
+    weighted by NMS-ambiguity σ(a(1−r)+b) and 2·cos³;
+  * ``refined_bb``: buddies recomputed *on the refined features* every step
+    (mutual-NN over an n×n cosine affinity — the in-step MXU heavy hitter),
+    weighted by 2·aff³.
+
+TPU redesign: ragged pair dicts → padded BBData gathers; per-pair python
+loops → lax-batched pair math with a sequential scan over pairs for the n×n
+affinity (bounds live memory at one 8107² map); randperm subset selection →
+masked Gumbel top-k.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models import tracker
+from ..models.tracker import TrackerConfig
+from ..structures import BBData
+from ..utils import coords as coord_utils
+from . import losses
+
+
+def _sample_embeddings_at(frame_embeddings, coords_xy, frame_set_idx,
+                          cfg: TrackerConfig):
+    """Trilinear-sample refined embeddings at pixel coords on frame-set index."""
+    pts = jnp.concatenate([coords_xy,
+                           frame_set_idx[:, None].astype(jnp.float32)], axis=1)
+    pts = coord_utils.normalize_points_for_sampling(
+        pts, cfg.video_h, cfg.video_w, cfg.dino_patch_size, cfg.stride)
+    return tracker.sample_embeddings(frame_embeddings, pts)
+
+
+def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
+                             fg_masks_thw, cfg: TrackerConfig,
+                             n_pairs: int, points_per_pair: int,
+                             fg_points_ratio: float, temp: float,
+                             cl_div: float, sig_a: float, sig_b: float):
+    """Reference dino_tracker.py:159-243. Returns a scalar loss."""
+    set_size = frames_set_t.shape[0]
+    h, w = fg_masks_thw.shape[-2:]
+    n_fg = int(points_per_pair * fg_points_ratio)
+    n_bg = points_per_pair - n_fg
+    n, c = (frame_embeddings.shape[2] * frame_embeddings.shape[3],
+            frame_embeddings.shape[1])
+
+    k_src, k_tgt, k_sel = jax.random.split(key, 3)
+    src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
+    # target != source (the reference redraws until no collision)
+    tgt_off = jax.random.randint(k_tgt, (n_pairs,), 1, set_size)
+    tgt_sel = (src_sel + tgt_off) % set_size
+
+    def pair_loss(k, src_idx, tgt_idx):
+        sf = frames_set_t[src_idx]
+        tf = frames_set_t[tgt_idx]
+        src_xy = bb.source_coords[sf, tf]      # Nmax×2
+        tgt_xy = bb.target_coords[sf, tf]
+        cos = bb.cos_sims[sf, tf]
+        r = bb.r[sf, tf]
+        valid = bb.valid[sf, tf]
+
+        fg_raw = losses.sample_fg_mask_at_points(fg_masks_thw[sf], src_xy,
+                                                 cfg.video_w, cfg.video_h)
+        kf, kb = jax.random.split(k)
+        idx_fg, v_fg = losses.masked_gumbel_topk(kf, valid & fg_raw, n_fg)
+        idx_bg, v_bg = losses.masked_gumbel_topk(kb, valid & ~fg_raw, n_bg)
+        sel = jnp.concatenate([idx_fg, idx_bg])
+        sel_valid = jnp.concatenate([v_fg, v_bg])
+
+        src_f = _sample_embeddings_at(frame_embeddings, src_xy[sel],
+                                      jnp.full((sel.shape[0],), src_idx), cfg)
+        tgt_f = _sample_embeddings_at(frame_embeddings, tgt_xy[sel],
+                                      jnp.full((sel.shape[0],), tgt_idx), cfg)
+        source_frame_f = frame_embeddings[src_idx].reshape(c, n).T
+        target_frame_f = frame_embeddings[tgt_idx].reshape(c, n).T
+        cl1, cl2 = losses.bb_pairs_contrastive_loss(src_f, tgt_f,
+                                                    source_frame_f,
+                                                    target_frame_f, temp)
+        ws = jax.nn.sigmoid(sig_a * (1.0 - r[sel]) + sig_b)
+        cos_ws = jnp.clip(2.0 * cos[sel] ** 3, min=0.0)
+        wmask = ws * cos_ws * sel_valid
+        return jnp.sum((cl1 + cl2) * wmask)
+
+    pair_keys = jax.random.split(k_sel, n_pairs)
+    per_pair = jax.lax.map(lambda args: pair_loss(*args),
+                           (pair_keys, src_sel, tgt_sel))
+    # reference: (Σcl1·w + Σcl2·w)/cl_div averaged over the two directions
+    return jnp.sum(per_pair) / cl_div / 2.0
+
+
+def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
+                                fg_masks_thw, cfg: TrackerConfig,
+                                n_pairs: int, points_per_pair: int,
+                                fg_points_ratio: float, temp: float,
+                                cl_div: float):
+    """Reference dino_tracker.py:245-330. Buddies mined on-the-fly from the
+    refined features (affinity under stop_gradient, like torch.no_grad)."""
+    set_size = frames_set_t.shape[0]
+    s, c, hp, wp = frame_embeddings.shape
+    n = hp * wp
+    n_fg = int(points_per_pair * fg_points_ratio)
+    n_bg = points_per_pair - n_fg
+
+    feat_grid = coord_utils.vit_feature_coords(cfg.video_h, cfg.video_w,
+                                               cfg.stride, cfg.dino_patch_size)
+
+    k_src, k_tgt, k_sel = jax.random.split(key, 3)
+    # reference randint for both — pairs may collide (kept intentionally)
+    src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
+    tgt_sel = jax.random.randint(k_tgt, (n_pairs,), 0, set_size)
+
+    flat = frame_embeddings.reshape(s, c, n)
+
+    def pair_loss(k, src_idx, tgt_idx):
+        source_f = flat[src_idx].T  # n×c
+        target_f = flat[tgt_idx].T
+        aff = losses.cosine_affinity(jax.lax.stop_gradient(source_f),
+                                     jax.lax.stop_gradient(target_f))
+        src_is_bb, tgt_of_src = losses.mutual_nn(aff)
+
+        sf = frames_set_t[src_idx]
+        fg_raw = losses.sample_fg_mask_at_points(fg_masks_thw[sf], feat_grid,
+                                                 cfg.video_w, cfg.video_h)
+        kf, kb = jax.random.split(k)
+        idx_fg, v_fg = losses.masked_gumbel_topk(kf, src_is_bb & fg_raw, n_fg)
+        idx_bg, v_bg = losses.masked_gumbel_topk(kb, src_is_bb & ~fg_raw, n_bg)
+        sel_src = jnp.concatenate([idx_fg, idx_bg])
+        sel_valid = jnp.concatenate([v_fg, v_bg])
+        sel_tgt = tgt_of_src[sel_src]
+
+        cl1, cl2 = losses.bb_pairs_contrastive_loss(
+            source_f[sel_src], target_f[sel_tgt], source_f, target_f, temp)
+        w_cos = jnp.clip(2.0 * aff[sel_src, sel_tgt] ** 3, min=0.0)
+        return jnp.sum((cl1 + cl2) * w_cos * sel_valid)
+
+    pair_keys = jax.random.split(k_sel, n_pairs)
+    # sequential over pairs: bounds live memory at one n×n affinity map
+    per_pair = jax.lax.map(lambda args: pair_loss(*args),
+                           (pair_keys, src_sel, tgt_sel))
+    return jnp.sum(per_pair) / (2.0 * cl_div)

@@ -1,0 +1,212 @@
+"""The jitted train step and per-video training loop.
+
+The reference hot loop (dino_tracker.py:392-448) does ~15 separate kernel
+launches per iteration with host-side sampling; here the ENTIRE iteration —
+trajectory sampling, DeltaDINO refinement, all six loss terms, backward,
+Adam + LR schedule — is one compiled XLA program. Phase gates
+(``apply_cyc_after`` / ``apply_cl_ref_after`` = 5000) are static branches:
+two compiled variants, swapped at the phase boundary.
+
+Parallelism: the step is written mesh-polymorphic — under a
+``jax.sharding.Mesh`` the batch (points) axis and the frame-set axis shard
+across chips with replicated params; gradients reduce over ICI via the
+compiler-inserted psum (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig
+from ..models import tracker
+from ..models.tracker import TrackerConfig, TrackerInput
+from ..structures import BBData
+from . import checkpoint as ckpt_lib
+from . import contrastive, cycle, losses
+from .sampler import TrajectoryBank, sample_batch
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+class VideoData(NamedTuple):
+    """Per-video device-resident training data."""
+    video: jnp.ndarray        # T×3×H×W float32 [0,1]
+    dino_embed: jnp.ndarray   # T×C×h'×w' float32
+    fg_masks: jnp.ndarray     # T×H×W float32
+    bb: BBData
+    fg_bank: TrajectoryBank
+    bg_bank: TrajectoryBank
+
+
+def make_optimizer(cfg: TrainConfig):
+    """Adam per param-group with the reference's LR schedule: delta_dino
+    decays γ^(step//every), tracker_head constant
+    (optimization/schedulers.py:4-8, dino_tracker.py:110-121)."""
+    def dd_schedule(count):
+        return cfg.lr_delta_dino * cfg.scheduler_gamma ** (
+            count // cfg.apply_scheduler_every)
+
+    tx = optax.multi_transform(
+        {"dd": optax.chain(optax.scale_by_adam(),
+                           optax.scale_by_schedule(dd_schedule),
+                           optax.scale(-1.0)),
+         "head": optax.chain(optax.scale_by_adam(),
+                             optax.scale(-cfg.lr_cnn_refiner))},
+        param_labels={"delta_dino": "dd", "tracker_head": "head"})
+    return tx
+
+
+def init_train_state(key, cfg: TrainConfig, tcfg: TrackerConfig) -> TrainState:
+    params, batch_stats = tracker.init_tracker(key, tcfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    return TrainState(params, batch_stats, opt_state, jnp.asarray(0, jnp.int32))
+
+
+def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
+                    use_cyc: bool, use_cl_ref: bool):
+    """Build the jitted step for one phase. use_cyc/use_cl_ref are static."""
+    tx = make_optimizer(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, data: VideoData, key):
+        video_len = data.video.shape[0]
+        k_sample, k_cyc, k_cl_dino, k_cl_ref = jax.random.split(key, 4)
+
+        sample = sample_batch(k_sample, data.fg_bank, data.bg_bank,
+                              cfg.train_batch_size, cfg.batch_n_frames,
+                              cfg.fg_traj_ratio, video_len,
+                              cfg.video_resw, cfg.video_resh)
+        inp = TrackerInput(sample.t1_points, sample.source_frame_indices,
+                           sample.target_frame_indices, sample.frames_set_t)
+        labels = sample.t2_points_normalized[:, :2]
+
+        def loss_fn(params):
+            refined, _, raw, new_stats = tracker.get_refined_embeddings(
+                params, state.batch_stats, data.video, data.dino_embed,
+                sample.frames_set_t, tcfg, train=True)
+            coords = tracker.get_point_predictions(params, inp, refined, tcfg)
+            l_of = jnp.mean(losses.huber(coords, labels))
+            metrics = {"loss_of": l_of}
+            total = l_of
+
+            if use_cyc:
+                cyc_data = cycle.generate_cycle_data(
+                    k_cyc, params, refined, sample.frames_set_t, data.fg_masks,
+                    tcfg, cfg.cyc_n_frames, cfg.cyc_batch_size_per_frame,
+                    cfg.cyc_fg_points_ratio, cfg.cyc_thresh)
+                l_cyc = cycle.cycle_consistency_loss(
+                    params, refined, sample.frames_set_t, cyc_data, tcfg,
+                    cfg.cyc_gamma)
+                metrics["loss_cyc"] = l_cyc
+                total = total + cfg.lambda_cyc * l_cyc
+            else:
+                metrics["loss_cyc"] = jnp.asarray(0.0)
+
+            if use_cl_ref:
+                l_cl_ref = contrastive.refined_bb_contrastive_loss(
+                    k_cl_ref, refined, sample.frames_set_t, data.fg_masks,
+                    tcfg, cfg.cl_n_frames, cfg.cl_points_per_pair,
+                    cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_ref_bb)
+                metrics["loss_cl_refiner"] = l_cl_ref
+                total = total + cfg.lambda_cl_ref_bb * l_cl_ref
+            else:
+                metrics["loss_cl_refiner"] = jnp.asarray(0.0)
+
+            l_cl_dino = contrastive.dino_bb_contrastive_loss(
+                k_cl_dino, refined, sample.frames_set_t, data.bb,
+                data.fg_masks, tcfg, cfg.cl_n_frames, cfg.cl_points_per_pair,
+                cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_dino_bb,
+                cfg.bb_amb_sig_a, cfg.bb_amb_sig_b)
+            l_norm = losses.emb_norm_regularization(refined, raw)
+            l_angle = losses.emb_angle_regularization(refined, raw)
+            total = (total + cfg.lambda_cl_dino_bb * l_cl_dino
+                     + cfg.lambda_emb_norm * l_norm
+                     + cfg.lambda_angle * l_angle)
+            metrics.update({"loss_cl_dino_bb": l_cl_dino,
+                            "loss_emb_norm_reg": l_norm,
+                            "loss_angle_reg": l_angle,
+                            "loss_total": total})
+            return total, (new_stats, metrics)
+
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_stats, new_opt_state,
+                          state.step + 1), metrics
+
+    return train_step
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Per-video training driver: phase-aware compiled steps, logging,
+    checkpointing (reference train loop dino_tracker.py:392-448)."""
+
+    cfg: TrainConfig
+    tcfg: TrackerConfig
+    data: VideoData
+    ckpt_folder: str
+    seed: int = 2
+
+    def __post_init__(self):
+        self._steps = {}
+
+    def _step_fn(self, i: int):
+        use_cyc = i >= self.cfg.apply_cyc_after
+        use_cl_ref = i >= self.cfg.apply_cl_ref_after
+        key = (use_cyc, use_cl_ref)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(self.cfg, self.tcfg,
+                                               use_cyc, use_cl_ref)
+        return self._steps[key]
+
+    def train(self, log_interval: int = 100,
+              progress: bool = True) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        state = init_train_state(key, self.cfg, self.tcfg)
+
+        init_iter = ckpt_lib.get_last_ckpt_iter(self.ckpt_folder)
+        if init_iter > 0:
+            state = ckpt_lib.load_state(self.ckpt_folder, state, init_iter)
+            logger.info("resumed from iter %d", init_iter)
+        start = max(init_iter, 0)
+
+        running = {}
+        it = range(start, self.cfg.total_iterations)
+        if progress:
+            try:
+                from tqdm import tqdm
+                it = tqdm(it)
+            except ImportError:
+                pass
+        for i in it:
+            key, sub = jax.random.split(key)
+            state, metrics = self._step_fn(i)(state, self.data, sub)
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + v
+            if i % log_interval == 0:
+                logger.info("iter %d: %s", i, {
+                    k: float(v) / log_interval for k, v in running.items()})
+                running = {}
+            if i == self.cfg.total_iterations - 1 or (
+                    i % self.cfg.checkpoint_interval == 0 and i > 0):
+                ckpt_lib.save_state(self.ckpt_folder, state, i)
+        ckpt_lib.save_state(self.ckpt_folder, state,
+                            self.cfg.total_iterations)
+        return state

@@ -1,0 +1,70 @@
+"""Tests for the jitted trajectory sampler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dino_tracker_tpu.training import sampler
+
+RNG = np.random.default_rng(11)
+
+
+def make_trajs(n, t, visible_prob=0.7):
+    traj = RNG.random((n, t, 2)).astype(np.float32) * 100
+    vis = RNG.random((n, t)) < visible_prob
+    # ensure a healthy share have >= 2 visible frames
+    traj[~vis] = np.nan
+    return traj
+
+
+def test_build_bank_filters_short_trajectories():
+    traj = make_trajs(50, 10)
+    traj[0, 1:] = np.nan  # only 1 valid frame -> dropped
+    bank = sampler.build_bank(traj)
+    valid_counts = np.asarray(bank.valid).sum(axis=1)
+    assert (valid_counts[:int(bank.count)] > 1).all()
+
+
+def test_sample_batch_properties():
+    t = 12
+    fg = sampler.build_bank(make_trajs(200, t))
+    bg = sampler.build_bank(make_trajs(300, t))
+    fn = jax.jit(lambda k: sampler.sample_batch(
+        k, fg, bg, batch_size=64, num_frames=4, fg_traj_ratio=0.5,
+        video_len=t, video_w=854, video_h=476))
+    for seed in range(3):
+        s = fn(jax.random.PRNGKey(seed))
+        frames = np.asarray(s.frames_set_t)
+        src = np.asarray(s.source_frame_indices)
+        tgt = np.asarray(s.target_frame_indices)
+        assert frames.shape == (8,)
+        assert ((frames >= 0) & (frames < t)).all()
+        assert (src < 8).all() and (tgt < 8).all()
+        # source/target indices round-trip to the sampled frames
+        t2_abs = np.asarray(s.target_times)
+        np.testing.assert_array_equal(frames[tgt], t2_abs.astype(np.int64))
+        # t1 != t2 per point (multinomial without replacement)
+        t1_norm = np.asarray(s.t1_points)[:, 2]
+        t1_abs = np.round((t1_norm + 1) / 2 * (t - 1))
+        assert (t1_abs != t2_abs).all()
+        # sampled points lie on real trajectories (no padding rows)
+        assert np.isfinite(np.asarray(s.t1_points)).all()
+        # t2 labels normalized to (-1, 1)
+        assert np.abs(np.asarray(s.t2_points_normalized)[:, :2]).max() <= 1.0
+
+
+def test_sampled_points_match_bank_coords():
+    t = 8
+    traj = make_trajs(100, t, visible_prob=1.0)  # fully visible
+    bank = sampler.build_bank(traj)
+    s = sampler.sample_batch(jax.random.PRNGKey(0), bank, bank, 32, 4, 0.5,
+                             t, 854, 476)
+    # every sampled (x, y) exists somewhere in the bank at the right frame
+    coords = np.asarray(bank.coords)  # N×T×2
+    t2 = np.asarray(s.target_times).astype(int)
+    xy = np.asarray(s.t2_points_normalized)[:, :2]
+    xy = (xy + 1) / 2 * np.asarray([853.0, 475.0])
+    for i in range(8):  # spot check a few
+        frame_coords = coords[:, t2[i], :]
+        d = np.abs(frame_coords - xy[i]).sum(axis=1)
+        assert d.min() < 1e-3
