@@ -1,0 +1,170 @@
+"""Trajectory + occlusion inference.
+
+Behavior spec: reference models/model_inference.py (ModelInference). Given
+trained params and the cached refined feature video:
+  1. track every query point to all T frames;
+  2. cosine similarity of the trajectory's features vs the query feature;
+  3. *anchor* re-tracking — every trajectory point re-predicted to every
+     anchor frame (frames with cos ≥ 0.7);
+  4. occlusion rule: occluded iff the anchor-median distance exceeds the max
+     median error at visible frames, OR cos < 0.6.
+
+TPU redesign: the reference loops one query × one anchor at a time
+(model_inference.py:69-72,137-147); here all (query, frame) and
+(query, anchor, frame) predictions are flat fixed-size batches through one
+jitted prediction kernel, and the variable-anchor medians become masked
+medians. Chunk size bounds the B×H'·W' correlation working set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import tracker
+from ..models.tracker import TrackerConfig, TrackerInput
+
+
+def _pad_to(x, n, axis=0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+@dataclasses.dataclass
+class ModelInference:
+    """Inference runtime over a trained tracker + cached refined features."""
+
+    params: dict
+    refined_features: jnp.ndarray  # T×C×h'×w' (eval-mode BN cache)
+    cfg: TrackerConfig
+    anchor_cosine_similarity_threshold: float = 0.5
+    cosine_similarity_threshold: float = 0.5
+    chunk: int = 4096
+
+    def __post_init__(self):
+        t = self.refined_features.shape[0]
+        frames_set = jnp.arange(t, dtype=jnp.int32)
+        scale = jnp.asarray([self.cfg.video_w - 1, self.cfg.video_h - 1],
+                            jnp.float32)
+
+        def predict(params, source_points, source_frames, target_frames):
+            """B×3 pixel (x, y, t_abs) → B×2 pixel coords on target frames."""
+            inp = TrackerInput(source_points, source_frames, target_frames,
+                               frames_set)
+            out = tracker.get_point_predictions(params, inp,
+                                                self.refined_features, self.cfg)
+            return (out + 1.0) * 0.5 * scale
+
+        self._predict = jax.jit(predict)
+
+        def sample_feats(points_b3):
+            pts = jnp.asarray(points_b3)
+            from ..utils import coords as cu
+            norm = cu.normalize_points_for_sampling(
+                pts, self.cfg.video_h, self.cfg.video_w,
+                self.cfg.dino_patch_size, self.cfg.stride)
+            return tracker.sample_embeddings(self.refined_features, norm)
+
+        self._sample_feats = jax.jit(sample_feats)
+
+    # ------------------------------------------------------------------
+    def _predict_chunked(self, source_points, source_frames, target_frames):
+        b = source_points.shape[0]
+        outs = []
+        for s in range(0, b, self.chunk):
+            e = min(s + self.chunk, b)
+            sp = source_points[s:e]
+            sf = source_frames[s:e]
+            tf = target_frames[s:e]
+            if e - s < self.chunk and b > self.chunk:
+                n = self.chunk
+                sp, sf, tf = _pad_to(sp, n), _pad_to(sf, n), _pad_to(tf, n)
+                outs.append(self._predict(self.params, sp, sf, tf)[: e - s])
+            else:
+                outs.append(self._predict(self.params, sp, sf, tf))
+        return jnp.concatenate(outs, axis=0)
+
+    def compute_trajectories(self, query_points) -> jnp.ndarray:
+        """query_points N×3 (x, y, t) → trajectories N×T×3 (x, y, t)."""
+        q = jnp.asarray(query_points, jnp.float32)
+        n = q.shape[0]
+        t = self.refined_features.shape[0]
+        src = jnp.repeat(q, t, axis=0)  # (N·T)×3
+        src_frames = src[:, 2].astype(jnp.int32)
+        tgt_frames = jnp.tile(jnp.arange(t, dtype=jnp.int32), n)
+        coords = self._predict_chunked(src, src_frames, tgt_frames)
+        coords = coords.reshape(n, t, 2)
+        times = jnp.broadcast_to(jnp.arange(t, dtype=jnp.float32)[None, :, None],
+                                 (n, t, 1))
+        return jnp.concatenate([coords, times], axis=-1)
+
+    def compute_trajectory_cos_sims(self, trajectories, query_points):
+        """N×T cos sims between per-frame trajectory features and the
+        query-frame feature (reference model_inference.py:110-126)."""
+        n, t = trajectories.shape[:2]
+        feats = self._sample_feats(trajectories.reshape(-1, 3)).reshape(n, t, -1)
+        query_frames = jnp.asarray(query_points)[:, 2].astype(jnp.int32)
+        query_feats = feats[jnp.arange(n), query_frames]  # N×C
+        num = jnp.einsum("ntc,nc->nt", feats, query_feats)
+        den = (jnp.linalg.norm(feats, axis=-1)
+               * jnp.linalg.norm(query_feats, axis=-1)[:, None])
+        # torch cosine_similarity clamps the denominator at eps=1e-8
+        return num / jnp.clip(den, min=1e-8)
+
+    def compute_anchor_trajectories(self, trajectories) -> jnp.ndarray:
+        """G[q, a, t] = trajectory point (q, t) re-tracked to frame a, for ALL
+        frames a — anchor masking happens in the occlusion rule. N×T×T×2."""
+        n, t = trajectories.shape[:2]
+        pts = trajectories  # N×T×3
+        # flat batch over (query, anchor, frame)
+        src = jnp.broadcast_to(pts[:, None, :, :], (n, t, t, 3)).reshape(-1, 3)
+        src_frames = src[:, 2].astype(jnp.int32)
+        anchors = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[None, :, None], (n, t, t)).reshape(-1)
+        coords = self._predict_chunked(src, src_frames, anchors)
+        return coords.reshape(n, t, t, 2)
+
+    def compute_occlusion(self, trajectories, cos_sims, anchor_trajectories):
+        """Masked-median occlusion rule (reference
+        model_inference.py:169-200). Returns N×T bool."""
+        anch_th = self.anchor_cosine_similarity_threshold
+        cos_th = self.cosine_similarity_threshold
+        visible = cos_sims >= anch_th  # N×T — anchor set per query
+
+        src = trajectories[:, :, :2]  # N×T×2
+        # dists[q, a, t] = ||G[q, a, t] - traj[q, a]||
+        dists = jnp.linalg.norm(
+            anchor_trajectories - src[:, :, None, :], axis=-1)  # N×T(a)×T(t)
+
+        def masked_median(x, mask):
+            """torch.median semantics (lower middle) over masked entries."""
+            big = jnp.where(mask, x, jnp.inf)
+            s = jnp.sort(big, axis=-1)
+            cnt = jnp.sum(mask, axis=-1)
+            idx = jnp.maximum((cnt - 1) // 2, 0)
+            med = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+            return jnp.where(cnt > 0, med, jnp.inf)
+
+        # median over anchors a (axis 1), masked by anchor visibility
+        med_over_anchors = masked_median(
+            jnp.swapaxes(dists, 1, 2), visible[:, None, :])  # N×T(t)
+        # threshold: max over visible t of that median
+        med_at_visible = jnp.where(visible, med_over_anchors, -jnp.inf)
+        th = jnp.max(med_at_visible, axis=-1, keepdims=True)  # N×1
+        occluded = (med_over_anchors > th) | (cos_sims < cos_th)
+        return occluded
+
+    def infer(self, query_points, batch_size: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """(trajectories N×T×2 pixel, occlusions N×T bool)."""
+        trajs = self.compute_trajectories(query_points)
+        cos_sims = self.compute_trajectory_cos_sims(trajs, query_points)
+        anchors = self.compute_anchor_trajectories(trajs)
+        occ = self.compute_occlusion(trajs, cos_sims, anchors)
+        return np.asarray(trajs[..., :2]), np.asarray(occ)

@@ -1,0 +1,84 @@
+"""Inference pipeline tests: shapes, self-tracking sanity, occlusion-rule
+parity vs a torch mirror of the reference."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from dino_tracker_tpu.models import tracker
+from dino_tracker_tpu.models.tracker import TrackerConfig
+from dino_tracker_tpu.inference.infer import ModelInference
+
+RNG = np.random.default_rng(5)
+
+
+def make_inference(t=5, h=70, w=98, c=16, seed=0):
+    tcfg = TrackerConfig(video_h=h, video_w=w, delta_channels=(3, 4, 4, 4, c))
+    hp, wp = tcfg.feat_hw
+    params, stats = tracker.init_tracker(jax.random.PRNGKey(seed), tcfg)
+    # distinctive per-position features, shared across frames (static scene)
+    pos = RNG.standard_normal((c, hp, wp)).astype(np.float32) * 3
+    refined = jnp.asarray(np.tile(pos[None], (t, 1, 1, 1)))
+    return ModelInference(params=params, refined_features=refined, cfg=tcfg,
+                          anchor_cosine_similarity_threshold=0.7,
+                          cosine_similarity_threshold=0.6, chunk=64), tcfg
+
+
+def test_infer_shapes_and_finite():
+    mi, tcfg = make_inference()
+    q = np.array([[20.0, 30.0, 0.0], [50.0, 40.0, 2.0]], dtype=np.float32)
+    trajs, occ = mi.infer(q)
+    t = mi.refined_features.shape[0]
+    assert trajs.shape == (2, t, 2)
+    assert occ.shape == (2, t)
+    assert np.isfinite(trajs).all()
+
+
+def test_static_scene_tracks_stay_near_query():
+    """With per-position features constant over time, the correlation argmax
+    is the query's own patch in every frame; predictions should stay within
+    the soft-argmax radius of the query point."""
+    mi, tcfg = make_inference()
+    q = np.array([[49.0, 35.0, 0.0]], dtype=np.float32)  # on-grid point
+    trajs = np.asarray(mi.compute_trajectories(jnp.asarray(q)))
+    d = np.linalg.norm(trajs[0, :, :2] - q[0, :2], axis=-1)
+    assert (d <= tcfg.argmax_radius + 7).all(), d
+
+    cos = np.asarray(mi.compute_trajectory_cos_sims(
+        jnp.asarray(trajs), jnp.asarray(q)))
+    assert cos.shape == (1, trajs.shape[1])
+    assert cos.max() <= 1.0 + 1e-5
+
+
+def torch_occ_pred_for_qp(green, source, cos, anch_th, cos_th):
+    """Reference model_inference.py:169-177."""
+    green = torch.from_numpy(green)
+    source = torch.from_numpy(source)
+    cos = torch.from_numpy(cos)
+    visible = cos >= anch_th
+    dists = torch.norm(green - source[visible, :].unsqueeze(1), dim=-1)
+    anchor_median_errors = torch.median(dists[:, visible], dim=0).values
+    th = anchor_median_errors.max()
+    med = torch.median(dists, dim=0).values
+    return (med > th) | (cos < cos_th)
+
+
+def test_occlusion_rule_parity():
+    mi, _ = make_inference()
+    n, t = 4, 9
+    trajs = RNG.random((n, t, 2)).astype(np.float32) * 50
+    cos = RNG.random((n, t)).astype(np.float32)
+    cos[:, 0] = 1.0  # query frame always an anchor
+    green_full = RNG.random((n, t, t, 2)).astype(np.float32) * 50
+
+    ours = np.asarray(mi.compute_occlusion(
+        jnp.asarray(np.concatenate([trajs, np.zeros((n, t, 1), np.float32)], -1)),
+        jnp.asarray(cos), jnp.asarray(green_full)))
+
+    for q in range(n):
+        visible = cos[q] >= 0.7
+        # reference green only holds rows for visible anchors
+        green_q = green_full[q][visible]
+        ref = torch_occ_pred_for_qp(green_q, trajs[q], cos[q], 0.7, 0.6)
+        np.testing.assert_array_equal(ours[q], ref.numpy(), err_msg=f"qp {q}")

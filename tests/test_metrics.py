@@ -1,0 +1,106 @@
+"""TAP-Vid metric tests: hand-computed mini-cases + (when available) parity
+against the reference implementation at /root/reference."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from dino_tracker_tpu.evaluation import metrics as M
+
+RNG = np.random.default_rng(13)
+
+
+def perfect_case(n=3, t=5):
+    qp = np.zeros((1, n, 3), np.float32)
+    qp[0, :, 0] = [0, 2, 4][:n]  # query frames
+    gt_tracks = RNG.random((1, n, t, 2)).astype(np.float32) * 200
+    gt_occ = np.zeros((1, n, t), bool)
+    return qp, gt_occ, gt_tracks
+
+
+def test_perfect_predictions_score_one():
+    qp, gt_occ, gt_tracks = perfect_case()
+    m = M.compute_tapvid_metrics(qp, gt_occ, gt_tracks, gt_occ.copy(),
+                                 gt_tracks.copy(), "strided")
+    assert m["occlusion_accuracy"][0] == 1.0
+    assert m["average_jaccard"][0] == 1.0
+    assert m["average_pts_within_thresh"][0] == 1.0
+
+
+def test_strided_excludes_query_frame():
+    """An error placed exactly on the query frame must not hurt metrics."""
+    qp, gt_occ, gt_tracks = perfect_case(n=1, t=5)
+    qp[0, 0, 0] = 2
+    pred = gt_tracks.copy()
+    pred[0, 0, 2] += 100.0  # only wrong at the query frame
+    m = M.compute_tapvid_metrics(qp, gt_occ, gt_tracks, gt_occ.copy(), pred,
+                                 "strided")
+    assert m["average_jaccard"][0] == 1.0
+
+
+def test_first_mode_excludes_frames_before_query():
+    qp, gt_occ, gt_tracks = perfect_case(n=1, t=5)
+    qp[0, 0, 0] = 2
+    pred = gt_tracks.copy()
+    pred[0, 0, :2] += 100.0  # wrong before the query frame
+    m = M.compute_tapvid_metrics(qp, gt_occ, gt_tracks, gt_occ.copy(), pred,
+                                 "first")
+    assert m["average_pts_within_thresh"][0] == 1.0
+    m2 = M.compute_tapvid_metrics(qp, gt_occ, gt_tracks, gt_occ.copy(), pred,
+                                  "strided")
+    assert m2["average_pts_within_thresh"][0] < 1.0
+
+
+def test_threshold_ladder_hand_case():
+    """One point offset by 3px: fails pts_within_{1,2}, passes {4,8,16}."""
+    qp, gt_occ, gt_tracks = perfect_case(n=1, t=2)
+    qp[0, 0, 0] = 0
+    pred = gt_tracks.copy()
+    pred[0, 0, 1, 0] += 3.0
+    m = M.compute_tapvid_metrics(qp, gt_occ, gt_tracks, gt_occ.copy(), pred,
+                                 "strided")
+    assert m["pts_within_1"][0] == 0.0
+    assert m["pts_within_2"][0] == 0.0
+    assert m["pts_within_4"][0] == 1.0
+
+
+def test_occlusion_jaccard_interplay():
+    """A visible point predicted occluded is a false negative for Jaccard."""
+    qp, gt_occ, gt_tracks = perfect_case(n=1, t=3)
+    pred_occ = gt_occ.copy()
+    pred_occ[0, 0, 1] = True  # wrongly predicted occluded at frame 1
+    m = M.compute_tapvid_metrics(qp, gt_occ, gt_tracks, pred_occ,
+                                 gt_tracks.copy(), "strided")
+    # frames 1, 2 evaluated; tp=1 (frame 2), gt_pos=2, fp=0 -> jaccard = 1/2
+    assert m["jaccard_1"][0] == 0.5
+    assert m["occlusion_accuracy"][0] == 0.5
+    # pts_within ignores predicted occlusion
+    assert m["pts_within_1"][0] == 1.0
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_parity_with_reference_implementation():
+    sys.path.insert(0, "/root/reference")
+    try:
+        from eval.metrics import compute_tapvid_metrics as ref_metrics
+    finally:
+        sys.path.pop(0)
+
+    b, n, t = 2, 7, 6
+    qp = np.concatenate([RNG.integers(0, t, (b, n, 1)).astype(np.float32),
+                         RNG.random((b, n, 2), dtype=np.float32) * 256], -1)
+    gt_occ = RNG.random((b, n, t)) < 0.2
+    pred_occ = RNG.random((b, n, t)) < 0.2
+    gt_trk = RNG.random((b, n, t, 2)).astype(np.float32) * 256
+    pred_trk = gt_trk + RNG.standard_normal((b, n, t, 2)).astype(np.float32) * 4
+
+    for mode in ["strided", "first"]:
+        ours = M.compute_tapvid_metrics(qp, gt_occ, gt_trk, pred_occ,
+                                        pred_trk, mode)
+        ref = ref_metrics(qp, gt_occ, gt_trk, pred_occ, pred_trk, mode)
+        for k in ref:
+            np.testing.assert_allclose(ours[k], ref[k], atol=1e-6,
+                                       err_msg=f"{mode}/{k}")
