@@ -1,0 +1,238 @@
+"""From-scratch DINOv2 ViT with overlapping-patch (stride < patch) support.
+
+The feature extractor of the pipeline (reference models/extractor.py
+``VitExtractor`` wrapping torch.hub DINOv2): a ViT-L/14 whose patch-embed
+conv runs at stride 7 (67×121 = 8107 tokens at 854×476) with the positional
+embedding bicubically interpolated to the stride-7 grid
+(models/extractor.py:41-85). Facets: per-block token outputs and per-block
+q/k/v (models/extractor.py:137-267).
+
+TPU design: functional param pytrees (converted 1:1 from the torch
+checkpoint by vit_convert.py), frames batched on the leading axis and
+shardable across chips, attention via the Pallas flash kernel
+(ops/flash_attention.py), bf16 compute with f32 accumulation.
+
+Architecture (DINOv2 DinoVisionTransformer, non-register variants):
+  x = patch_embed(img) ++ cls;  x += interp(pos_embed)
+  block: x += ls1·attn(norm1(x));  x += ls2·mlp(norm2(x))   (LN eps 1e-6)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+from ..utils.resize import bicubic_resize_torch
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    pretrain_grid: int = 37  # √N of the pretrain pos-embed (518/14)
+    layerscale: bool = True
+    ln_eps: float = 1e-6
+
+    @classmethod
+    def for_model(cls, model_name: str) -> "ViTConfig":
+        """dinov2_vit{s,b,l,g}14 presets (reference extractor.py:183-222)."""
+        presets = {
+            "s": dict(embed_dim=384, depth=12, num_heads=6),
+            "b": dict(embed_dim=768, depth=12, num_heads=12),
+            "l": dict(embed_dim=1024, depth=24, num_heads=16),
+            "g": dict(embed_dim=1536, depth=40, num_heads=24),
+        }
+        for key, kw in presets.items():
+            if f"vit{key}" in model_name:
+                return cls(**kw)
+        raise ValueError(f"unknown model name {model_name}")
+
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def init_vit(key, cfg: ViTConfig, dtype=jnp.float32):
+    """Randomly initialized params (same pytree layout the converter fills)."""
+    d = cfg.embed_dim
+    n = cfg.pretrain_grid ** 2
+    keys = jax.random.split(key, 2 + cfg.depth)
+
+    def linear(k, din, dout):
+        scale = 1.0 / math.sqrt(din)
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, (din, dout), dtype, -scale, scale),
+                "b": jax.random.uniform(kb, (dout,), dtype, -scale, scale)}
+
+    params = {
+        "patch_embed": {
+            "w": jax.random.normal(keys[0], (cfg.patch_size, cfg.patch_size, 3, d),
+                                   dtype) * 0.02,
+            "b": jnp.zeros((d,), dtype),
+        },
+        "cls_token": jax.random.normal(keys[1], (1, 1, d), dtype) * 0.02,
+        "pos_embed": jnp.zeros((1, 1 + n, d), dtype),
+        "blocks": [],
+    }
+    for i in range(cfg.depth):
+        k1, k2, k3, k4 = jax.random.split(keys[2 + i], 4)
+        block = {
+            "norm1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "attn": {"qkv": linear(k1, d, 3 * d), "proj": linear(k2, d, d)},
+            "norm2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "mlp": {"fc1": linear(k3, d, cfg.mlp_ratio * d),
+                    "fc2": linear(k4, cfg.mlp_ratio * d, d)},
+        }
+        if cfg.layerscale:
+            block["ls1"] = jnp.ones((d,), dtype)
+            block["ls2"] = jnp.ones((d,), dtype)
+        params["blocks"].append(block)
+    return params
+
+
+def layer_norm(x, p, eps: float):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def patch_embed(params, frames_nchw, stride: int):
+    """Overlapping-patch conv: N×3×H×W -> N×(h0·w0)×D, h0 = 1+(H-patch)//stride
+    (the stride-override trick, reference extractor.py:41-55)."""
+    x = jnp.transpose(frames_nchw, (0, 2, 3, 1))  # NHWC
+    out = jax.lax.conv_general_dilated(
+        x, params["patch_embed"]["w"], window_strides=(stride, stride),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out = out + params["patch_embed"]["b"]
+    n, h0, w0, d = out.shape
+    return out.reshape(n, h0 * w0, d), (h0, w0)
+
+
+def interpolate_pos_embed(params, grid_hw: Tuple[int, int], cfg: ViTConfig):
+    """Bicubic pos-embed interpolation with the reference's exact +0.1 /
+    explicit-scale semantics (extractor.py:57-85). Returns (1, 1+h0·w0, D)."""
+    h0, w0 = grid_hw
+    m = cfg.pretrain_grid
+    d = cfg.embed_dim
+    if (h0, w0) == (m, m):
+        return params["pos_embed"]
+    cls_pos = params["pos_embed"][:, :1]
+    patch_pos = params["pos_embed"][0, 1:].reshape(m, m, d)
+    patch_pos = jnp.transpose(patch_pos, (2, 0, 1))  # D×m×m
+    scale_h = (h0 + 0.1) / m
+    scale_w = (w0 + 0.1) / m
+    resized = bicubic_resize_torch(patch_pos, h0, w0, scale_h, scale_w)
+    resized = jnp.transpose(resized, (1, 2, 0)).reshape(1, h0 * w0, d)
+    return jnp.concatenate([cls_pos, resized], axis=1)
+
+
+def vit_block(block, x, cfg: ViTConfig, attn_impl: str = "auto",
+              collect_qkv: bool = False):
+    """One ViT block; returns (x_out, qkv or None)."""
+    b, s, d = x.shape
+    h = cfg.num_heads
+    hd = d // h
+
+    y = layer_norm(x, block["norm1"], cfg.ln_eps)
+    qkv = y @ block["attn"]["qkv"]["w"] + block["attn"]["qkv"]["b"]  # B×S×3D
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # B×S×D -> B×H×S×hd
+        return jnp.transpose(t.reshape(b, s, h, hd), (0, 2, 1, 3))
+
+    attn_out = multi_head_attention(heads(q), heads(k), heads(v),
+                                    sm_scale=1.0 / math.sqrt(hd),
+                                    impl=attn_impl)
+    attn_out = jnp.transpose(attn_out, (0, 2, 1, 3)).reshape(b, s, d)
+    attn_out = attn_out @ block["attn"]["proj"]["w"] + block["attn"]["proj"]["b"]
+    if "ls1" in block:
+        attn_out = attn_out * block["ls1"]
+    x = x + attn_out
+
+    y = layer_norm(x, block["norm2"], cfg.ln_eps)
+    y = y @ block["mlp"]["fc1"]["w"] + block["mlp"]["fc1"]["b"]
+    y = jax.nn.gelu(y, approximate=False)
+    y = y @ block["mlp"]["fc2"]["w"] + block["mlp"]["fc2"]["b"]
+    if "ls2" in block:
+        y = y * block["ls2"]
+    x = x + y
+    return x, (qkv if collect_qkv else None)
+
+
+def forward_features(params, frames_nchw, cfg: ViTConfig, stride: int,
+                     layers: Sequence[int], facet: str = "tokens",
+                     attn_impl: str = "auto"):
+    """Run blocks 0..max(layers); return the requested facet per layer.
+
+    facet 'tokens': block outputs (B×S×D, S includes cls at position 0);
+    'keys'/'queries'/'values': slices of that block's qkv
+    (reference extractor.py:137-267). Frames must already be imagenet-
+    normalized.
+    """
+    x, grid_hw = patch_embed(params, frames_nchw, stride)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + interpolate_pos_embed(params, grid_hw, cfg)
+
+    want_qkv = facet in ("keys", "queries", "values")
+    max_layer = max(layers)
+    outputs: List[jnp.ndarray] = [None] * len(layers)
+    for i in range(max_layer + 1):
+        x, qkv = vit_block(params["blocks"][i], x, cfg, attn_impl,
+                           collect_qkv=want_qkv and i in layers)
+        if i in layers:
+            idx = list(layers).index(i)
+            if facet == "tokens":
+                outputs[idx] = x
+            else:
+                s = x.shape[1]
+                qkv3 = qkv.reshape(b, s, 3, cfg.embed_dim)
+                sel = {"queries": 0, "keys": 1, "values": 2}[facet]
+                outputs[idx] = qkv3[:, :, sel, :]
+    return outputs, grid_hw
+
+
+def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
+                          layer: Optional[int] = None, facet: str = "tokens",
+                          frames_per_batch: int = 4, attn_impl: str = "auto",
+                          compute_dtype=jnp.float32):
+    """video (T×3×H×W, [0,1]) -> feature video T×D×h0×w0 for one layer
+    (reference utils.py:33-72 ``get_dino_features_video``). Frame-batched;
+    under a mesh the frame axis shards across chips."""
+    t = video_tchw.shape[0]
+    layer = cfg.depth - 1 if layer is None else layer
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+
+    @jax.jit
+    def run(frames):
+        x = ((frames - mean) / std).astype(compute_dtype)
+        outs, grid_hw = forward_features(params, x, cfg, stride, [layer],
+                                         facet, attn_impl)
+        tokens = outs[0][:, 1:, :]  # drop cls
+        n = tokens.shape[0]
+        h0, w0 = grid_hw
+        return jnp.transpose(tokens, (0, 2, 1)).reshape(
+            n, cfg.embed_dim, h0, w0).astype(jnp.float32)
+
+    chunks = []
+    for s in range(0, t, frames_per_batch):
+        e = min(s + frames_per_batch, t)
+        frames = video_tchw[s:e]
+        if e - s < frames_per_batch and t > frames_per_batch:
+            pad = frames_per_batch - (e - s)
+            frames = jnp.concatenate([frames, frames[-1:].repeat(pad, axis=0)])
+            chunks.append(run(frames)[: e - s])
+        else:
+            chunks.append(run(frames))
+    return jnp.concatenate(chunks, axis=0)
