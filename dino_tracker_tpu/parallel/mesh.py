@@ -1,0 +1,49 @@
+"""Device mesh + sharding layout.
+
+The reference is single-GPU with zero distribution (SURVEY §2); the TPU
+rebuild scales within one video over an ICI mesh with a single ``data`` axis:
+
+  * train step: the 512-point batch axis AND the ≤8-frame DeltaDINO conv
+    batch shard over ``data`` (params replicated; XLA inserts the psum for
+    gradient reduction);
+  * feature extraction / RAFT / best-buddy pair sweeps: the frame (or frame-
+    pair) axis shards over ``data``;
+  * inference: the flat (query × frame) prediction batch shards over ``data``.
+
+Multi-video benchmark fan-out across hosts rides DCN via
+parallel/launcher.py (one process per video — embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading axis over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def constrain_batch(x, mesh: Optional[Mesh]):
+    """Inside-jit sharding constraint: leading axis over ``data``."""
+    if mesh is None:
+        return x
+    spec = P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -79,9 +79,13 @@ def init_train_state(key, cfg: TrainConfig, tcfg: TrackerConfig) -> TrainState:
 
 
 def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
-                    use_cyc: bool, use_cl_ref: bool):
-    """Build the jitted step for one phase. use_cyc/use_cl_ref are static."""
+                    use_cyc: bool, use_cl_ref: bool, mesh=None):
+    """Build the jitted step for one phase. use_cyc/use_cl_ref are static.
+
+    With ``mesh`` the point-batch and frame axes shard over the ``data``
+    mesh axis (params replicated; XLA inserts the gradient psum)."""
     tx = make_optimizer(cfg)
+    from ..parallel.mesh import constrain_batch
 
     @jax.jit
     def train_step(state: TrainState, data: VideoData, key):
@@ -92,14 +96,17 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                               cfg.train_batch_size, cfg.batch_n_frames,
                               cfg.fg_traj_ratio, video_len,
                               cfg.video_resw, cfg.video_resh)
-        inp = TrackerInput(sample.t1_points, sample.source_frame_indices,
-                           sample.target_frame_indices, sample.frames_set_t)
-        labels = sample.t2_points_normalized[:, :2]
+        inp = TrackerInput(constrain_batch(sample.t1_points, mesh),
+                           constrain_batch(sample.source_frame_indices, mesh),
+                           constrain_batch(sample.target_frame_indices, mesh),
+                           sample.frames_set_t)
+        labels = constrain_batch(sample.t2_points_normalized[:, :2], mesh)
 
         def loss_fn(params):
             refined, _, raw, new_stats = tracker.get_refined_embeddings(
                 params, state.batch_stats, data.video, data.dino_embed,
                 sample.frames_set_t, tcfg, train=True)
+            refined = constrain_batch(refined, mesh)
             coords = tracker.get_point_predictions(params, inp, refined, tcfg)
             l_of = jnp.mean(losses.huber(coords, labels))
             metrics = {"loss_of": l_of}
