@@ -1,0 +1,201 @@
+"""Chained optical-flow trajectory extraction.
+
+Behavior spec: reference preprocessing/extract_trajectories.py — per start
+frame, every pixel spawns a candidate trajectory that is advanced by the
+forward flow, killed on forward-backward cycle error > threshold /
+out-of-bounds / (optionally) disagreement with the direct start→t flow, and
+deduplicated against trajectories from earlier start frames ("look-behind").
+
+TPU redesign: the per-start-frame time loop is a ``lax.scan`` carrying
+(coords h×w×2, alive h×w) — all pixels advance in parallel (the reference
+also vectorizes over pixels; we additionally fuse the whole time loop into
+one XLA program per start frame and replace the growing trajectory list +
+O(N) look-behind scan with a t×h×w occupancy grid). Ragged assembly of
+surviving trajectories happens host-side (NumPy), exactly once per start
+frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.sampling import bilinear_sampler_pixel
+
+
+def compute_flow_masks(flows_fwd, flows_bwd, threshold: float,
+                       add_missing_forward_warp: bool = True):
+    """Per-frame backward cycle-consistency masks (reference
+    extract_trajectories.py:30-95).
+
+    flows_fwd/flows_bwd: (t-1)×2×h×w — flow i→i+1 and i+1→i.
+    Returns masks (t, h, w) bool: frame f>0 is True where frame f's pixel
+    cycle-checks against frame f-1 (and received a forward warp); frame 0 is
+    all False.
+    """
+    tm1, _, h, w = flows_fwd.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = jnp.stack([xs, ys], axis=-1)[None]  # 1×h×w×2
+
+    def per_pair(fwd, bwd):
+        coords1 = coords + jnp.transpose(bwd, (1, 2, 0))[None]
+        warped_fwd = bilinear_sampler_pixel(fwd[None], coords1)
+        coords2 = coords1 + jnp.transpose(warped_fwd[0], (1, 2, 0))[None]
+        err = jnp.linalg.norm(coords - coords2, axis=3)[0]  # h×w
+        mask = err < threshold
+        if add_missing_forward_warp:
+            tgt = coords[0] + jnp.transpose(fwd, (1, 2, 0))
+            tgt = jnp.round(tgt).astype(jnp.int32)
+            inb = ((tgt[..., 0] >= 0) & (tgt[..., 0] <= w - 1)
+                   & (tgt[..., 1] >= 0) & (tgt[..., 1] <= h - 1))
+            xi = jnp.clip(tgt[..., 0], 0, w - 1)
+            yi = jnp.clip(tgt[..., 1], 0, h - 1)
+            hit = jnp.zeros((h, w), bool).at[yi.reshape(-1), xi.reshape(-1)].max(
+                inb.reshape(-1))
+            mask = mask & hit
+        return mask
+
+    pair_masks = jax.lax.map(lambda ab: per_pair(*ab), (flows_fwd, flows_bwd))
+    return jnp.concatenate([jnp.zeros((1, h, w), bool), pair_masks], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "use_direct",
+                                             "direct_threshold"))
+def _chain_from_start(flows_fwd, flows_bwd, start_mask, start_frame,
+                      dflows, dflow_masks, threshold: float,
+                      use_direct: bool, direct_threshold: float):
+    """Scan the full time range; steps before ``start_frame`` are identity.
+
+    flows_fwd/flows_bwd: (t-1)×2×h×w. start_mask: h×w bool (which pixels
+    spawn trajectories). dflows: (t-1)×h×w×2 direct flows start→f (row k is
+    flow to frame start+1+k when use_direct); dflow_masks likewise.
+    Returns (trajectories t×h×w×2 float32 with NaN, never-nan alive count).
+    """
+    tm1, _, h, w = flows_fwd.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    grid = jnp.stack([xs, ys], axis=-1)  # h×w×2
+    upper = jnp.asarray([w - 1.0, h - 1.0])
+
+    def step(carry, idx):
+        coords, alive = carry
+        active = idx >= start_frame
+
+        fwd = flows_fwd[idx]
+        bwd = flows_bwd[idx]
+        warped_fwd = jnp.transpose(
+            bilinear_sampler_pixel(fwd[None], coords[None])[0], (1, 2, 0))
+        coords1 = coords + warped_fwd
+        warped_bwd = jnp.transpose(
+            bilinear_sampler_pixel(bwd[None], coords1[None])[0], (1, 2, 0))
+        coords2 = coords1 + warped_bwd
+        err = jnp.linalg.norm(coords - coords2, axis=-1)
+        in_bounds = jnp.all((coords1 >= 0.0) & (coords1 <= upper), axis=-1)
+        new_alive = alive & (err < threshold) & in_bounds
+        new_coords = coords + warped_fwd
+        if use_direct:
+            # direct-flow row for target frame idx+1 is dflows[idx - start]
+            drow = idx - start_frame
+            dflow = dflows[jnp.clip(drow, 0, tm1 - 1)]
+            dmask = dflow_masks[jnp.clip(drow, 0, tm1 - 1)]
+            err_d = jnp.linalg.norm(new_coords - (grid + dflow), axis=-1)
+            err_d = err_d * (dmask > 0.2)
+            new_alive = new_alive & (err_d < direct_threshold)
+
+        coords = jnp.where(active, new_coords, coords)
+        alive = jnp.where(active, new_alive, alive)
+        out = jnp.where(alive[..., None], coords, jnp.nan)
+        return (coords, alive), out
+
+    init = (grid, start_mask)
+    first = jnp.where(start_mask[..., None], grid, jnp.nan)
+    (_, _), rest = jax.lax.scan(step, init, jnp.arange(tm1))
+    # rows: frame start_frame is ``first``; rows of ``rest`` hold frames
+    # idx+1 — frames ≤ start_frame-1 from rest are pre-start identity junk,
+    # masked below.
+    t = tm1 + 1
+    frames = jnp.arange(t)
+    # timeline: frame f < start -> NaN; f == start -> first;
+    # f > start -> rest[f-1] (scan output of step idx = f-1)
+    timeline = jnp.where(
+        (frames[:, None, None, None] == start_frame), first[None],
+        jnp.where(frames[:, None, None, None] > start_frame,
+                  jnp.concatenate([jnp.full_like(first[None], jnp.nan), rest],
+                                  axis=0),
+                  jnp.nan))
+    return timeline
+
+
+def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
+                         threshold: float = 1.5,
+                         min_trajectory_length: int = 2,
+                         direct_flow_fn: Optional[Callable[[int], Tuple[np.ndarray, np.ndarray]]] = None,
+                         direct_flow_threshold: float = 2.5,
+                         look_behind: bool = True,
+                         progress: bool = False) -> np.ndarray:
+    """Full extraction over all start frames -> N×t×2 float32 with NaNs
+    (reference extract_trajectories.py:163-269).
+
+    direct_flow_fn(start) -> (dflows (t-1-start)×h×w×2, dmasks) enables the
+    direct-flow filter (reference :99-160, :222-255).
+    """
+    flows_fwd = jnp.asarray(flows_fwd)
+    flows_bwd = jnp.asarray(flows_bwd)
+    tm1, _, h, w = flows_fwd.shape
+    t = tm1 + 1
+
+    masks = np.asarray(compute_flow_masks(flows_fwd, flows_bwd, threshold))
+    occupied = np.zeros((t, h, w), bool)  # look-behind occupancy
+    use_direct = direct_flow_fn is not None
+
+    collected = []
+    rng = range(t - (min_trajectory_length - 1))
+    if progress:
+        from tqdm import tqdm
+        rng = tqdm(rng, desc="chaining trajectories")
+    for start in rng:
+        start_mask = ~masks[start]
+        if look_behind:
+            start_mask = start_mask | ~occupied[start]
+
+        if use_direct:
+            dflows_np, dmasks_np = direct_flow_fn(start)
+            dflows = np.zeros((tm1, h, w, 2), np.float32)
+            dmasks = np.zeros((tm1, h, w), np.float32)
+            n = dflows_np.shape[0]
+            dflows[:n] = dflows_np
+            dmasks[:n] = dmasks_np
+        else:
+            dflows = np.zeros((tm1, h, w, 2), np.float32)
+            dmasks = np.zeros((tm1, h, w), np.float32)
+
+        timeline = _chain_from_start(
+            flows_fwd, flows_bwd, jnp.asarray(start_mask),
+            jnp.asarray(start, jnp.int32), jnp.asarray(dflows),
+            jnp.asarray(dmasks), threshold=threshold, use_direct=use_direct,
+            direct_threshold=direct_flow_threshold)
+        timeline = np.asarray(timeline)  # t×h×w×2
+
+        valid = ~np.isnan(timeline).any(axis=-1)  # t×h×w
+        life = valid.sum(axis=0)  # h×w
+        keep = life >= min_trajectory_length  # h×w
+        if keep.any():
+            trajs = timeline[:, keep, :]  # t×K×2
+            collected.append(np.transpose(trajs, (1, 0, 2)).astype(np.float32))
+            if look_behind:
+                kept_valid = valid[:, keep]  # t×K
+                coords = np.round(np.nan_to_num(trajs)).astype(np.int64)
+                xi = np.clip(coords[..., 0], 0, w - 1)
+                yi = np.clip(coords[..., 1], 0, h - 1)
+                for f in range(start, t):
+                    sel = kept_valid[f]
+                    occupied[f, yi[f, sel], xi[f, sel]] = True
+
+    if not collected:
+        return np.full((0, t, 2), np.nan, np.float32)
+    return np.concatenate(collected, axis=0)

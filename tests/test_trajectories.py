@@ -1,0 +1,93 @@
+"""Trajectory chaining tests with synthetic (exact) flows."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dino_tracker_tpu.preprocessing import trajectories as traj_lib
+
+
+def constant_flow(t, h, w, dx, dy):
+    """Perfectly cycle-consistent constant-translation flow fields."""
+    fwd = np.zeros((t - 1, 2, h, w), np.float32)
+    fwd[:, 0] = dx
+    fwd[:, 1] = dy
+    bwd = -fwd.copy()
+    return fwd, bwd
+
+
+def test_compute_flow_masks_consistent_flow():
+    t, h, w = 5, 16, 20
+    fwd, bwd = constant_flow(t, h, w, 1.0, 0.0)
+    masks = np.asarray(traj_lib.compute_flow_masks(
+        jnp.asarray(fwd), jnp.asarray(bwd), threshold=1.0))
+    assert masks.shape == (t, h, w)
+    assert not masks[0].any()  # frame 0 defined as inconsistent
+    # interior pixels of later frames are consistent (border misses fwd warp)
+    assert masks[1:, :, 2:].mean() > 0.8
+
+
+def test_static_scene_single_start_frame():
+    """Zero flow: every pixel tracked from frame 0; later start frames add
+    nothing thanks to look-behind dedup."""
+    t, h, w = 4, 10, 12
+    fwd, bwd = constant_flow(t, h, w, 0.0, 0.0)
+    out = traj_lib.extract_trajectories(fwd, bwd, threshold=1.0)
+    # all pixels spawn at frame 0 and survive everywhere
+    from_start0 = out[~np.isnan(out[:, 0, 0])]
+    assert from_start0.shape[0] == h * w
+    # no duplicates: total trajectory count equals pixels that ever started
+    assert out.shape[0] == h * w
+    # static coords
+    np.testing.assert_allclose(out[:, 0], out[:, -1], atol=1e-4)
+
+
+def test_translation_tracks_move_and_die_at_border():
+    t, h, w = 5, 12, 16
+    dx = 2.0
+    fwd, bwd = constant_flow(t, h, w, dx, 0.0)
+    out = traj_lib.extract_trajectories(fwd, bwd, threshold=1.0)
+    start0 = out[~np.isnan(out[:, 0, 0])]
+    # a pixel starting at x=3 moves to x=3+2k
+    xs0 = start0[:, 0, 0]
+    sel = xs0 == 3.0
+    tracked = start0[sel]
+    for k in range(t):
+        valid = ~np.isnan(tracked[:, k, 0])
+        np.testing.assert_allclose(tracked[valid, k, 0], 3.0 + dx * k)
+    # pixels near the right border die when pushed out of bounds
+    far_right = start0[xs0 == w - 1.0]
+    assert np.isnan(far_right[:, 1:, 0]).all()
+
+
+def test_min_trajectory_length_filters():
+    t, h, w = 4, 8, 8
+    fwd, bwd = constant_flow(t, h, w, 0.0, 0.0)
+    # poison the bwd flow at the last transition so frame-3 cycle fails
+    bwd2 = bwd.copy()
+    bwd2[2] += 10.0
+    out = traj_lib.extract_trajectories(fwd, bwd2, threshold=1.0,
+                                        min_trajectory_length=4)
+    assert out.shape[0] == 0  # longest surviving segment is 3 frames
+
+
+def test_direct_flow_filter_kills_inconsistent():
+    t, h, w = 4, 8, 10
+    fwd, bwd = constant_flow(t, h, w, 1.0, 0.0)
+
+    def direct_fn(start):
+        n = t - 1 - start
+        dflows = np.zeros((n, h, w, 2), np.float32)
+        for k in range(n):
+            dflows[k, :, :, 0] = 1.0 * (k + 1)  # consistent with chaining
+        dmasks = np.ones((n, h, w), np.float32)
+        # make direct flow disagree on the top half
+        dflows[:, : h // 2, :, 0] += 50.0
+        return dflows, dmasks
+
+    out = traj_lib.extract_trajectories(fwd, bwd, threshold=1.0,
+                                        direct_flow_fn=direct_fn,
+                                        direct_flow_threshold=2.5)
+    start0 = out[~np.isnan(out[:, 0, 0])]
+    ys = start0[:, 0, 1]
+    # top-half trajectories die after frame 0 -> dropped by min length
+    assert (ys >= h // 2 - 1).all()
