@@ -1,0 +1,394 @@
+"""RAFT optical flow, reimplemented functionally in JAX.
+
+The reference gets flow from torchvision's ``raft_large``
+(preprocessing/extract_trajectories.py:6,182, 24 update iterations). This is
+a from-scratch implementation of the RAFT-large architecture (feature/context
+encoders, all-pairs correlation pyramid, SepConv GRU update block, convex
+upsampling) designed for TPU:
+
+  * the 24-iteration recurrence is a single ``lax.scan`` (one compiled
+    program, no per-iter dispatch);
+  * the correlation pyramid lookup is a batched gather expressed with the
+    shared grid-sample core (utils/sampling.py);
+  * image pairs batch on the leading axis and shard across chips for the
+    O(T²) direct-flow sweep;
+  * flow inference needs no gradients, so everything runs in inference mode
+    (instance norm without affine params, batch norm with checkpoint
+    statistics).
+
+Weights convert from the canonical princeton-vl RAFT checkpoints
+(raft-things.pth layout, ``module.``-prefixed) via
+``convert_raft_state_dict``; torchvision's raft_large ships the same
+architecture.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nn import conv2d, kaiming_uniform_conv
+from ..utils.sampling import grid_sample_nchw
+
+HDIM = 128
+CDIM = 128
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def instance_norm(x_nhwc, eps: float = 1e-5):
+    """InstanceNorm2d(affine=False) — per sample, per channel over H, W."""
+    mean = jnp.mean(x_nhwc, axis=(1, 2), keepdims=True)
+    var = jnp.var(x_nhwc, axis=(1, 2), keepdims=True)
+    return (x_nhwc - mean) * jax.lax.rsqrt(var + eps)
+
+
+def batch_norm_eval(x_nhwc, p, eps: float = 1e-5):
+    return ((x_nhwc - p["mean"]) * jax.lax.rsqrt(p["var"] + eps)
+            * p["scale"] + p["bias"])
+
+
+def _norm(x, p, kind: str):
+    if kind == "instance":
+        return instance_norm(x)
+    if kind == "batch":
+        return batch_norm_eval(x, p)
+    return x
+
+
+def _init_bn(ch):
+    return {"scale": jnp.ones((ch,)), "bias": jnp.zeros((ch,)),
+            "mean": jnp.zeros((ch,)), "var": jnp.ones((ch,))}
+
+
+def _residual_block(p, x, stride: int, norm: str):
+    y = jax.nn.relu(_norm(conv2d(x, p["conv1"], stride=stride, padding=1),
+                          p.get("norm1"), norm))
+    y = jax.nn.relu(_norm(conv2d(y, p["conv2"], stride=1, padding=1),
+                          p.get("norm2"), norm))
+    if "downsample" in p:
+        x = _norm(conv2d(x, p["downsample"]["conv"], stride=stride),
+                  p["downsample"].get("norm"), norm)
+    return jax.nn.relu(x + y)
+
+
+def _encoder(p, x_nhwc, norm: str):
+    """BasicEncoder: 7×7/2 stem + 3 residual stages (64, 96, 128) + 1×1 out
+    conv; total stride 8."""
+    x = jax.nn.relu(_norm(conv2d(x_nhwc, p["conv1"], stride=2, padding=3),
+                          p.get("norm1"), norm))
+    for i, stride in ((1, 1), (2, 2), (3, 2)):
+        blocks = p[f"layer{i}"]
+        x = _residual_block(blocks[0], x, stride, norm)
+        x = _residual_block(blocks[1], x, 1, norm)
+    return conv2d(x, p["conv2"])
+
+
+def init_raft(key) -> dict:
+    """Random params in the same tree the converter fills (RAFT-large)."""
+    keys = iter(jax.random.split(key, 64))
+
+    def c(cin, cout, k):
+        kh, kw = k if isinstance(k, tuple) else (k, k)
+        return kaiming_uniform_conv(next(keys), cout, cin, kh, kw)
+
+    def enc(norm: str):
+        def block(cin, cout, stride):
+            b = {"conv1": c(cin, cout, 3), "conv2": c(cout, cout, 3)}
+            if norm == "batch":
+                b["norm1"], b["norm2"] = _init_bn(cout), _init_bn(cout)
+            if stride > 1 or cin != cout:
+                b["downsample"] = {"conv": c(cin, cout, 1)}
+                if norm == "batch":
+                    b["downsample"]["norm"] = _init_bn(cout)
+            return b
+
+        p = {"conv1": c(3, 64, 7), "conv2": c(128, 256, 1),
+             "layer1": [block(64, 64, 1), block(64, 64, 1)],
+             "layer2": [block(64, 96, 2), block(96, 96, 1)],
+             "layer3": [block(96, 128, 2), block(128, 128, 1)]}
+        if norm == "batch":
+            p["norm1"] = _init_bn(64)
+        return p
+
+    corr_ch = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2  # 324
+    return {
+        "fnet": enc("instance"),
+        "cnet": enc("batch"),
+        "update": {
+            "enc": {"convc1": c(corr_ch, 256, 1), "convc2": c(256, 192, 3),
+                    "convf1": c(2, 128, 7), "convf2": c(128, 64, 3),
+                    "conv": c(256, 126, 3)},
+            # GRU input = hidden(128) + [context(128) ++ motion(128)] = 384
+            "gru": {"convz1": c(384, HDIM, (1, 5)), "convr1": c(384, HDIM, (1, 5)),
+                    "convq1": c(384, HDIM, (1, 5)), "convz2": c(384, HDIM, (5, 1)),
+                    "convr2": c(384, HDIM, (5, 1)), "convq2": c(384, HDIM, (5, 1))},
+            "flow_head": {"conv1": c(HDIM, 256, 3), "conv2": c(256, 2, 3)},
+            "mask": {"conv1": c(HDIM, 256, 3), "conv2": c(256, 64 * 9, 1)},
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# correlation pyramid
+# ---------------------------------------------------------------------------
+
+def build_corr_pyramid(fmap1_nhwc, fmap2_nhwc):
+    """All-pairs correlation -> 4-level pyramid.
+
+    Returns list of (B·h1·w1, 1, h_l, w_l) volumes (the lookup treats each
+    source pixel as a batch element, matching RAFT's layout).
+    """
+    b, h, w, c = fmap1_nhwc.shape
+    f1 = fmap1_nhwc.reshape(b, h * w, c)
+    f2 = fmap2_nhwc.reshape(b, h * w, c)
+    corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+    corr = corr.reshape(b * h * w, 1, h, w)
+    pyramid = [corr]
+    for _ in range(CORR_LEVELS - 1):
+        c_ = pyramid[-1]
+        hh, ww = c_.shape[-2:]
+        if hh < 2 or ww < 2:  # degenerate tiny inputs: stop pooling
+            pyramid.append(c_)
+            continue
+        # avg_pool2d(2) floor semantics: odd trailing row/col dropped
+        c_ = c_[:, :, : 2 * (hh // 2), : 2 * (ww // 2)]
+        c_ = c_.reshape(-1, 1, hh // 2, 2, ww // 2, 2).mean(axis=(3, 5))
+        pyramid.append(c_)
+    return pyramid
+
+
+def corr_lookup(pyramid, coords_b2hw):
+    """Sample 9×9 windows at coords/2^l per level -> B×(4·81)×h×w."""
+    b2, _, h, w = coords_b2hw.shape
+    coords = jnp.transpose(coords_b2hw, (0, 2, 3, 1))  # B×h×w×2
+    r = CORR_RADIUS
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # 81×2
+
+    out = []
+    for lvl, vol in enumerate(pyramid):
+        hl, wl = vol.shape[-2:]
+        centroid = coords.reshape(b2 * h * w, 1, 2) / (2 ** lvl)
+        pts = centroid + delta[None]  # (Bhw)×81×2
+        # size-1 levels (tiny inputs only): every sample maps to the center
+        gx = 2 * pts[..., 0] / (wl - 1) - 1 if wl > 1 else jnp.zeros_like(pts[..., 0])
+        gy = 2 * pts[..., 1] / (hl - 1) - 1 if hl > 1 else jnp.zeros_like(pts[..., 1])
+        grid = jnp.stack([gx, gy], axis=-1)[:, None]  # (Bhw)×1×81×2
+        sampled = grid_sample_nchw(vol, grid, align_corners=True,
+                                   padding_mode="zeros")  # (Bhw)×1×1×81
+        out.append(sampled.reshape(b2, h, w, -1))
+    return jnp.concatenate(out, axis=-1)  # B×h×w×324
+
+
+# ---------------------------------------------------------------------------
+# update block
+# ---------------------------------------------------------------------------
+
+def _motion_encoder(p, flow_nhwc, corr_nhwc):
+    cor = jax.nn.relu(conv2d(corr_nhwc, p["convc1"]))
+    cor = jax.nn.relu(conv2d(cor, p["convc2"], padding=1))
+    flo = jax.nn.relu(conv2d(flow_nhwc, p["convf1"], padding=3))
+    flo = jax.nn.relu(conv2d(flo, p["convf2"], padding=1))
+    out = jax.nn.relu(conv2d(jnp.concatenate([cor, flo], -1), p["conv"],
+                             padding=1))
+    return jnp.concatenate([out, flow_nhwc], axis=-1)  # 128
+
+
+def _conv_1x5(x, p):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), [(0, 0), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + p["b"]
+
+
+def _conv_5x1(x, p):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), [(2, 2), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + p["b"]
+
+
+def _sep_conv_gru(p, h, x):
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(_conv_1x5(hx, p["convz1"]))
+    r = jax.nn.sigmoid(_conv_1x5(hx, p["convr1"]))
+    q = jnp.tanh(_conv_1x5(jnp.concatenate([r * h, x], -1), p["convq1"]))
+    h = (1 - z) * h + z * q
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(_conv_5x1(hx, p["convz2"]))
+    r = jax.nn.sigmoid(_conv_5x1(hx, p["convr2"]))
+    q = jnp.tanh(_conv_5x1(jnp.concatenate([r * h, x], -1), p["convq2"]))
+    return (1 - z) * h + z * q
+
+
+def _flow_head(p, h):
+    return conv2d(jax.nn.relu(conv2d(h, p["conv1"], padding=1)), p["conv2"],
+                  padding=1)
+
+
+def convex_upsample(flow_nhwc, mask_nhwc):
+    """8× convex upsampling: softmax over 9 weights combines the 3×3
+    neighborhood of the coarse flow for each of the 64 subpixels."""
+    b, h, w, _ = flow_nhwc.shape
+    mask = mask_nhwc.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+    flow8 = 8.0 * flow_nhwc
+    pad = jnp.pad(flow8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack([pad[:, i:i + h, j:j + w] for i in range(3)
+                         for j in range(3)], axis=3)  # b×h×w×9×2
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, patches)
+    up = jnp.transpose(up, (0, 1, 3, 2, 4, 5)).reshape(b, 8 * h, 8 * w, 2)
+    return up
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def _coords_grid(b, h, w):
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    grid = jnp.stack([xs, ys], axis=0)[None]  # 1×2×h×w
+    return jnp.broadcast_to(grid, (b, 2, h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def raft_forward(params, image1_nchw, image2_nchw, num_iters: int = 24):
+    """Images in [0, 1], H/W divisible by 8 -> flow N×2×H×W (pixels).
+
+    Matches RAFT inference: inputs scaled to [-1, 1], zero-init flow at 1/8
+    resolution, ``num_iters`` GRU updates, convex upsampling of the final
+    flow only (the reference consumes predictions[-1]).
+    """
+    x1 = jnp.transpose(image1_nchw * 2.0 - 1.0, (0, 2, 3, 1))
+    x2 = jnp.transpose(image2_nchw * 2.0 - 1.0, (0, 2, 3, 1))
+    b, h, w, _ = x1.shape
+    h8, w8 = h // 8, w // 8
+
+    fmap1 = _encoder(params["fnet"], x1, "instance")
+    fmap2 = _encoder(params["fnet"], x2, "instance")
+    pyramid = build_corr_pyramid(fmap1, fmap2)
+
+    cnet = _encoder(params["cnet"], x1, "batch")
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    coords0 = _coords_grid(b, h8, w8)
+    up = params["update"]
+
+    def step(carry, _):
+        net, coords1 = carry
+        corr = corr_lookup(pyramid, coords1)
+        flow = jnp.transpose(coords1 - coords0, (0, 2, 3, 1))
+        motion = _motion_encoder(up["enc"], flow, corr)
+        new_net = _sep_conv_gru(up["gru"], net,
+                                jnp.concatenate([inp, motion], axis=-1))
+        delta = _flow_head(up["flow_head"], new_net)
+        coords1 = coords1 + jnp.transpose(delta, (0, 3, 1, 2))
+        return (new_net, coords1), None
+
+    (net, coords1), _ = jax.lax.scan(step, (net, coords0), None,
+                                     length=num_iters)
+    flow_coarse = jnp.transpose(coords1 - coords0, (0, 2, 3, 1))
+    mask = conv2d(jax.nn.relu(conv2d(net, up["mask"]["conv1"], padding=1)),
+                  up["mask"]["conv2"]) * 0.25
+    flow_up = convex_upsample(flow_coarse, mask)
+    return jnp.transpose(flow_up, (0, 3, 1, 2))
+
+
+class InputPadder:
+    """Pad to /8 with replicate, 'sintel' centering (reference
+    data/data_utils.py:26-44)."""
+
+    def __init__(self, dims):
+        self.ht, self.wd = dims[-2:]
+        pad_ht = (((self.ht // 8) + 1) * 8 - self.ht) % 8
+        pad_wd = (((self.wd // 8) + 1) * 8 - self.wd) % 8
+        # (left, right, top, bottom)
+        self._pad = [pad_wd // 2, pad_wd - pad_wd // 2,
+                     pad_ht // 2, pad_ht - pad_ht // 2]
+
+    def pad(self, x_nchw):
+        l, r, t, b = self._pad
+        return jnp.pad(x_nchw, ((0, 0), (0, 0), (t, b), (l, r)), mode="edge")
+
+    def unpad(self, x_nchw):
+        l, r, t, b = self._pad
+        ht, wd = x_nchw.shape[-2:]
+        return x_nchw[..., t:ht - b, l:wd - r]
+
+
+# ---------------------------------------------------------------------------
+# checkpoint conversion (princeton-vl raft-things.pth layout)
+# ---------------------------------------------------------------------------
+
+def convert_raft_state_dict(sd) -> dict:
+    """princeton-vl RAFT state dict -> our param tree. Accepts the
+    ``module.``-prefixed DataParallel layout of the published checkpoints."""
+    def a(name):
+        for key in (name, "module." + name):
+            if key in sd:
+                t = sd[key]
+                return jnp.asarray(
+                    t.detach().cpu().numpy() if hasattr(t, "detach")
+                    else np.asarray(t), jnp.float32)
+        raise KeyError(name)
+
+    def cv(name):
+        return {"w": jnp.transpose(a(name + ".weight"), (2, 3, 1, 0)),
+                "b": a(name + ".bias")}
+
+    def bn(name):
+        return {"scale": a(name + ".weight"), "bias": a(name + ".bias"),
+                "mean": a(name + ".running_mean"),
+                "var": a(name + ".running_var")}
+
+    def enc(prefix, norm):
+        def block(bp, cin, cout, stride):
+            b = {"conv1": cv(bp + ".conv1"), "conv2": cv(bp + ".conv2")}
+            if norm == "batch":
+                b["norm1"] = bn(bp + ".norm1")
+                b["norm2"] = bn(bp + ".norm2")
+            if stride > 1 or cin != cout:
+                b["downsample"] = {"conv": cv(bp + ".downsample.0")}
+                if norm == "batch":
+                    b["downsample"]["norm"] = bn(bp + ".downsample.1")
+            return b
+
+        p = {"conv1": cv(prefix + ".conv1"), "conv2": cv(prefix + ".conv2"),
+             "layer1": [block(prefix + ".layer1.0", 64, 64, 1),
+                        block(prefix + ".layer1.1", 64, 64, 1)],
+             "layer2": [block(prefix + ".layer2.0", 64, 96, 2),
+                        block(prefix + ".layer2.1", 96, 96, 1)],
+             "layer3": [block(prefix + ".layer3.0", 96, 128, 2),
+                        block(prefix + ".layer3.1", 128, 128, 1)]}
+        if norm == "batch":
+            p["norm1"] = bn(prefix + ".norm1")
+        return p
+
+    return {
+        "fnet": enc("fnet", "instance"),
+        "cnet": enc("cnet", "batch"),
+        "update": {
+            "enc": {k: cv(f"update_block.encoder.{k}") for k in
+                    ("convc1", "convc2", "convf1", "convf2", "conv")},
+            "gru": {k: cv(f"update_block.gru.{k}") for k in
+                    ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")},
+            "flow_head": {"conv1": cv("update_block.flow_head.conv1"),
+                          "conv2": cv("update_block.flow_head.conv2")},
+            "mask": {"conv1": cv("update_block.mask.0"),
+                     "conv2": cv("update_block.mask.2")},
+        },
+    }

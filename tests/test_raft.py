@@ -1,0 +1,180 @@
+"""RAFT component parity tests (torch mirrors) + end-to-end smoke."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from dino_tracker_tpu.models import raft
+
+RNG = np.random.default_rng(23)
+
+
+def test_instance_norm_matches_torch():
+    x = RNG.standard_normal((2, 5, 6, 8)).astype(np.float32)  # NHWC
+    ours = raft.instance_norm(jnp.asarray(x))
+    ref = F.instance_norm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(ours),
+                               np.transpose(ref.numpy(), (0, 2, 3, 1)),
+                               atol=1e-5)
+
+
+def test_corr_pyramid_and_lookup():
+    """Correlation volume + windowed lookup vs a direct torch computation."""
+    b, h, w, c = 1, 8, 10, 16
+    f1 = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    pyramid = raft.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+    assert len(pyramid) == 4
+    # level 0 correlation parity
+    t1 = torch.from_numpy(f1).reshape(b, h * w, c)
+    t2 = torch.from_numpy(f2).reshape(b, h * w, c)
+    ref_corr = torch.einsum("bnc,bmc->bnm", t1, t2) / np.sqrt(c)
+    np.testing.assert_allclose(np.asarray(pyramid[0]).reshape(b, h * w, h, w),
+                               ref_corr.reshape(b, h * w, h, w).numpy(),
+                               atol=1e-4)
+    # level 1 is a 2×2 average pool of level 0's target dims
+    ref_l1 = F.avg_pool2d(ref_corr.reshape(b * h * w, 1, h, w), 2)
+    np.testing.assert_allclose(np.asarray(pyramid[1]), ref_l1.numpy(),
+                               atol=1e-4)
+
+    # lookup at the identity grid: center tap of level-0 window equals the
+    # self-correlation at that pixel
+    coords = raft._coords_grid(b, h, w)
+    out = raft.corr_lookup(pyramid, coords)  # b×h×w×324
+    assert out.shape == (b, h, w, 324)
+    center = np.asarray(out)[0, :, :, 40]  # window index (4,4) of level 0
+    diag = ref_corr.reshape(h * w, h, w).numpy()[np.arange(h * w)].reshape(
+        h * w, h * w)[np.arange(h * w), np.arange(h * w)].reshape(h, w)
+    np.testing.assert_allclose(center, diag, atol=1e-4)
+
+
+def test_convex_upsample_matches_torch_unfold():
+    b, h, w = 2, 4, 5
+    flow = RNG.standard_normal((b, h, w, 2)).astype(np.float32)
+    mask = RNG.standard_normal((b, h, w, 9 * 64)).astype(np.float32)
+    # NB our mask layout is h×w×(9·8·8) reshaped to (9, 8, 8)
+    ours = raft.convex_upsample(jnp.asarray(flow), jnp.asarray(mask))
+
+    tflow = torch.from_numpy(np.transpose(flow, (0, 3, 1, 2)))
+    tmask = torch.from_numpy(np.transpose(mask, (0, 3, 1, 2)))
+    tmask = tmask.view(b, 1, 9, 8, 8, h, w)
+    tmask = torch.softmax(tmask, dim=2)
+    up_flow = F.unfold(8 * tflow, [3, 3], padding=1)
+    up_flow = up_flow.view(b, 2, 9, 1, 1, h, w)
+    up_flow = torch.sum(tmask * up_flow, dim=2)
+    up_flow = up_flow.permute(0, 1, 4, 2, 5, 3)
+    ref = up_flow.reshape(b, 2, 8 * h, 8 * w)
+    np.testing.assert_allclose(np.asarray(ours),
+                               np.transpose(ref.numpy(), (0, 2, 3, 1)),
+                               atol=1e-4)
+
+
+def test_sep_conv_gru_matches_torch():
+    params = raft.init_raft(jax.random.PRNGKey(0))["update"]["gru"]
+    b, h, w = 1, 6, 7
+    hs = RNG.standard_normal((b, h, w, 128)).astype(np.float32)
+    xs = RNG.standard_normal((b, h, w, 256)).astype(np.float32)  # ctx+motion
+    ours = raft._sep_conv_gru(params, jnp.asarray(hs), jnp.asarray(xs))
+
+    def tconv(p, x, pad):
+        wgt = torch.from_numpy(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)).copy())
+        return F.conv2d(x, wgt, torch.from_numpy(np.asarray(p["b"]).copy()),
+                        padding=pad)
+
+    th = torch.from_numpy(np.transpose(hs, (0, 3, 1, 2)))
+    tx = torch.from_numpy(np.transpose(xs, (0, 3, 1, 2)))
+    hx = torch.cat([th, tx], dim=1)
+    z = torch.sigmoid(tconv(params["convz1"], hx, (0, 2)))
+    r = torch.sigmoid(tconv(params["convr1"], hx, (0, 2)))
+    q = torch.tanh(tconv(params["convq1"], torch.cat([r * th, tx], 1), (0, 2)))
+    th = (1 - z) * th + z * q
+    hx = torch.cat([th, tx], dim=1)
+    z = torch.sigmoid(tconv(params["convz2"], hx, (2, 0)))
+    r = torch.sigmoid(tconv(params["convr2"], hx, (2, 0)))
+    q = torch.tanh(tconv(params["convq2"], torch.cat([r * th, tx], 1), (2, 0)))
+    ref = (1 - z) * th + z * q
+    np.testing.assert_allclose(np.asarray(ours),
+                               np.transpose(ref.numpy(), (0, 2, 3, 1)),
+                               atol=1e-4)
+
+
+def test_raft_forward_smoke():
+    params = raft.init_raft(jax.random.PRNGKey(1))
+    img1 = jnp.asarray(RNG.random((2, 3, 64, 80), dtype=np.float32))
+    img2 = jnp.asarray(RNG.random((2, 3, 64, 80), dtype=np.float32))
+    flow = raft.raft_forward(params, img1, img2, num_iters=3)
+    assert flow.shape == (2, 2, 64, 80)
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_input_padder_matches_reference():
+    x = jnp.asarray(RNG.random((1, 3, 30, 41), dtype=np.float32))
+    p = raft.InputPadder(x.shape)
+    padded = p.pad(x)
+    assert padded.shape[-2] % 8 == 0 and padded.shape[-1] % 8 == 0
+    back = p.unpad(padded)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+    # replicate semantics at the border
+    tx = torch.from_numpy(np.asarray(x))
+    pad_ht = (((30 // 8) + 1) * 8 - 30) % 8
+    pad_wd = (((41 // 8) + 1) * 8 - 41) % 8
+    tpad = [pad_wd // 2, pad_wd - pad_wd // 2, pad_ht // 2, pad_ht - pad_ht // 2]
+    ref = F.pad(tx, tpad, mode="replicate")
+    np.testing.assert_allclose(np.asarray(padded), ref.numpy())
+
+
+def test_raft_converter_roundtrip():
+    """Random params -> princeton-style state dict -> converter -> identical
+    forward output."""
+    params = raft.init_raft(jax.random.PRNGKey(2))
+
+    sd = {}
+
+    def put_conv(name, p):
+        sd["module." + name + ".weight"] = np.transpose(np.asarray(p["w"]),
+                                                        (3, 2, 0, 1))
+        sd["module." + name + ".bias"] = np.asarray(p["b"])
+
+    def put_bn(name, p):
+        sd["module." + name + ".weight"] = np.asarray(p["scale"])
+        sd["module." + name + ".bias"] = np.asarray(p["bias"])
+        sd["module." + name + ".running_mean"] = np.asarray(p["mean"])
+        sd["module." + name + ".running_var"] = np.asarray(p["var"])
+
+    for enc_name, norm in (("fnet", "instance"), ("cnet", "batch")):
+        e = params[enc_name]
+        put_conv(enc_name + ".conv1", e["conv1"])
+        put_conv(enc_name + ".conv2", e["conv2"])
+        if norm == "batch":
+            put_bn(enc_name + ".norm1", e["norm1"])
+        for li in (1, 2, 3):
+            for bi in (0, 1):
+                bp = f"{enc_name}.layer{li}.{bi}"
+                blk = e[f"layer{li}"][bi]
+                put_conv(bp + ".conv1", blk["conv1"])
+                put_conv(bp + ".conv2", blk["conv2"])
+                if norm == "batch":
+                    put_bn(bp + ".norm1", blk["norm1"])
+                    put_bn(bp + ".norm2", blk["norm2"])
+                if "downsample" in blk:
+                    put_conv(bp + ".downsample.0", blk["downsample"]["conv"])
+                    if norm == "batch":
+                        put_bn(bp + ".downsample.1", blk["downsample"]["norm"])
+    u = params["update"]
+    for k in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        put_conv("update_block.encoder." + k, u["enc"][k])
+    for k in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        put_conv("update_block.gru." + k, u["gru"][k])
+    put_conv("update_block.flow_head.conv1", u["flow_head"]["conv1"])
+    put_conv("update_block.flow_head.conv2", u["flow_head"]["conv2"])
+    put_conv("update_block.mask.0", u["mask"]["conv1"])
+    put_conv("update_block.mask.2", u["mask"]["conv2"])
+
+    converted = raft.convert_raft_state_dict(sd)
+    img1 = jnp.asarray(RNG.random((1, 3, 32, 40), dtype=np.float32))
+    img2 = jnp.asarray(RNG.random((1, 3, 32, 40), dtype=np.float32))
+    a = raft.raft_forward(params, img1, img2, num_iters=2)
+    b = raft.raft_forward(converted, img1, img2, num_iters=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
