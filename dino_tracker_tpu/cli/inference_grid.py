@@ -1,0 +1,30 @@
+"""Grid-query inference CLI (reference inference_grid.py)."""
+
+import argparse
+import logging
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="./config/train.yaml")
+    parser.add_argument("--data-path", required=True)
+    parser.add_argument("--iter", type=int, default=None)
+    parser.add_argument("--start-frame", type=int, default=0)
+    parser.add_argument("--interval", type=int, default=10)
+    parser.add_argument("--use-segm-mask", action="store_true", default=False)
+    parser.add_argument("--batch-size", type=int, default=4096)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from ..config import TrainConfig
+    from ..runtime import DINOTrackerRuntime
+
+    cfg = TrainConfig.from_yaml(args.config)
+    rt = DINOTrackerRuntime(args.data_path, cfg)
+    rt.infer_grid(interval=args.interval, start_frame=args.start_frame,
+                  use_segm_mask=args.use_segm_mask, step=args.iter,
+                  chunk=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

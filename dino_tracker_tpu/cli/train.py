@@ -1,0 +1,23 @@
+"""Per-video test-time training CLI (reference train.py)."""
+
+import argparse
+import logging
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="./config/train.yaml")
+    parser.add_argument("--data-path", required=True)
+    parser.add_argument("--seed", default=2, type=int)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from ..config import TrainConfig
+    from ..runtime import DINOTrackerRuntime
+
+    cfg = TrainConfig.from_yaml(args.config)
+    DINOTrackerRuntime(args.data_path, cfg, seed=args.seed).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,7 @@ class ModelInference:
             sp = source_points[s:e]
             sf = source_frames[s:e]
             tf = target_frames[s:e]
-            if e - s < self.chunk and b > self.chunk:
+            if e - s < self.chunk:
                 n = self.chunk
                 sp, sf, tf = _pad_to(sp, n), _pad_to(sf, n), _pad_to(tf, n)
                 outs.append(self._predict(self.params, sp, sf, tf)[: e - s])

@@ -168,6 +168,12 @@ def vit_block(block, x, cfg: ViTConfig, attn_impl: str = "auto",
     return x, (qkv if collect_qkv else None)
 
 
+def stack_block_params(blocks):
+    """List of per-block pytrees -> one pytree with a leading layer axis
+    (the lax.scan layout)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
 def forward_features(params, frames_nchw, cfg: ViTConfig, stride: int,
                      layers: Sequence[int], facet: str = "tokens",
                      attn_impl: str = "auto"):
@@ -177,6 +183,10 @@ def forward_features(params, frames_nchw, cfg: ViTConfig, stride: int,
     'keys'/'queries'/'values': slices of that block's qkv
     (reference extractor.py:137-267). Frames must already be imagenet-
     normalized.
+
+    The depth loop is a lax.scan over stacked block params — one block
+    compiles once instead of unrolling 24 copies into the XLA graph (the
+    unrolled ViT-L program took minutes to compile on TPU).
     """
     x, grid_hw = patch_embed(params, frames_nchw, stride)
     b = x.shape[0]
@@ -186,19 +196,34 @@ def forward_features(params, frames_nchw, cfg: ViTConfig, stride: int,
 
     want_qkv = facet in ("keys", "queries", "values")
     max_layer = max(layers)
-    outputs: List[jnp.ndarray] = [None] * len(layers)
-    for i in range(max_layer + 1):
-        x, qkv = vit_block(params["blocks"][i], x, cfg, attn_impl,
-                           collect_qkv=want_qkv and i in layers)
-        if i in layers:
-            idx = list(layers).index(i)
-            if facet == "tokens":
-                outputs[idx] = x
-            else:
-                s = x.shape[1]
-                qkv3 = qkv.reshape(b, s, 3, cfg.embed_dim)
-                sel = {"queries": 0, "keys": 1, "values": 2}[facet]
-                outputs[idx] = qkv3[:, :, sel, :]
+    layers = list(layers)
+    stacked = stack_block_params(params["blocks"][: max_layer + 1])
+    layer_ids = jnp.asarray(layers)
+
+    def body(carry, scan_in):
+        x, outs = carry
+        i, blk = scan_in
+        x, qkv = vit_block(blk, x, cfg, attn_impl, collect_qkv=want_qkv)
+        current = qkv if want_qkv else x
+        hit = (layer_ids == i)  # n_out bools
+        outs = jnp.where(hit[:, None, None, None], current[None], outs)
+        return (x, outs), None
+
+    out_shape = ((b, x.shape[1], 3 * cfg.embed_dim) if want_qkv
+                 else (b, x.shape[1], cfg.embed_dim))
+    outs0 = jnp.zeros((len(layers),) + out_shape, x.dtype)
+    (_, outs), _ = jax.lax.scan(
+        body, (x, outs0), (jnp.arange(max_layer + 1), stacked))
+
+    outputs: List[jnp.ndarray] = []
+    for idx in range(len(layers)):
+        o = outs[idx]
+        if want_qkv:
+            s = o.shape[1]
+            qkv3 = o.reshape(b, s, 3, cfg.embed_dim)
+            sel = {"queries": 0, "keys": 1, "values": 2}[facet]
+            o = qkv3[:, :, sel, :]
+        outputs.append(o)
     return outputs, grid_hw
 
 
@@ -229,7 +254,7 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
     for s in range(0, t, frames_per_batch):
         e = min(s + frames_per_batch, t)
         frames = video_tchw[s:e]
-        if e - s < frames_per_batch and t > frames_per_batch:
+        if e - s < frames_per_batch:
             pad = frames_per_batch - (e - s)
             frames = jnp.concatenate([frames, frames[-1:].repeat(pad, axis=0)])
             chunks.append(run(frames)[: e - s])

@@ -1,0 +1,161 @@
+"""Preprocessing orchestrator — all stages in one process.
+
+Behavior spec: reference preprocessing/main_preprocessing.py +
+preprocessing_dino_bb/main_dino_bb_preprocessing.py, which spawn 9 python
+subprocesses communicating through .pt files. Here the stages are plain
+function calls sharing device-resident arrays (artifacts still hit disk in
+the same layout — config.add_config_paths — so downstream tooling and
+resume-at-any-stage work the same way).
+
+Stages:
+  1. RAFT flows → chained trajectories (with direct-flow filter)
+  2. DINO feature video (layer 15 tokens, stride 7)
+  3. FG masks (GT if provided, else layer-23 feature PCA)
+  4. FG/BG trajectory split
+  5. best buddies: mutual-NN sweep → unfiltered trajectories → OF filter →
+     NMS ambiguity
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PreprocessConfig, add_config_paths
+from ..models.vit import ViTConfig, extract_feature_video
+from ..structures import save_bb_data
+from ..utils import video_io
+from . import best_buddies as bb_lib
+from . import fg_mask as fg_lib
+from . import split_fg_bg as split_lib
+from . import trajectories as traj_lib
+from .flow import RaftFlowEngine
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PreprocessingPipeline:
+    data_path: str
+    cfg: PreprocessConfig
+    raft_params: Optional[dict] = None
+    vit_params: Optional[dict] = None
+    vit_cfg: Optional[ViTConfig] = None
+    progress: bool = True
+    flow_engine_override: Optional[object] = None  # injectable for tests
+
+    def __post_init__(self):
+        self.paths = add_config_paths(self.data_path)
+        self._video = None
+        self._engine = self.flow_engine_override
+
+    # -- shared inputs ----------------------------------------------------
+    @property
+    def video(self) -> np.ndarray:
+        if self._video is None:
+            self._video = video_io.load_video(
+                self.paths["video_folder"],
+                resize=(self.cfg.video_resh, self.cfg.video_resw),
+                num_frames=self.cfg.max_frames)
+        return self._video
+
+    @property
+    def flow_engine(self) -> RaftFlowEngine:
+        if self._engine is None:
+            assert self.raft_params is not None, "RAFT weights required"
+            self._engine = RaftFlowEngine(self.raft_params, self.video,
+                                          num_iters=self.cfg.raft_iters)
+        return self._engine
+
+    # -- stages -----------------------------------------------------------
+    def extract_trajectories(self, use_direct_filter: bool, out_path: str):
+        eng = self.flow_engine
+        logger.info("adjacent RAFT flows (%d pairs)", eng.t - 1)
+        fwd, bwd = eng.adjacent_flows(progress=self.progress)
+        direct_fn = None
+        if use_direct_filter:
+            direct_fn = lambda s: eng.direct_flows(s, self.cfg.threshold)
+        trajs = traj_lib.extract_trajectories(
+            fwd, bwd, threshold=self.cfg.threshold,
+            min_trajectory_length=self.cfg.min_trajectory_length,
+            direct_flow_fn=direct_fn,
+            direct_flow_threshold=self.cfg.direct_flow_threshold,
+            progress=self.progress)
+        video_io.save_npz(out_path, trajectories=trajs)
+        logger.info("saved %s: %s", out_path, trajs.shape)
+        return trajs
+
+    def extract_dino_features(self, layer: int, out_path: str):
+        assert self.vit_params is not None, "DINO weights required"
+        feats = extract_feature_video(
+            self.vit_params, jnp.asarray(self.video), self.vit_cfg,
+            stride=self.cfg.dino_stride, layer=layer,
+            facet=self.cfg.dino_facet)
+        video_io.save_npz(out_path, features=np.asarray(feats))
+        logger.info("saved %s: %s", out_path, feats.shape)
+        return np.asarray(feats)
+
+    def create_fg_masks(self, mask_features: np.ndarray):
+        masks = fg_lib.compute_fg_masks(
+            mask_features, (self.cfg.video_resh, self.cfg.video_resw),
+            fg_mask_threshold=self.cfg.fg_mask_threshold)
+        video_io.save_video_frames((masks * 255).astype(np.uint8),
+                                   self.paths["masks_path"])
+        return masks
+
+    def split_trajectories(self, trajs: np.ndarray):
+        masks = video_io.load_masks(self.paths["masks_path"],
+                                    h_resize=self.cfg.video_resh,
+                                    w_resize=self.cfg.video_resw)
+        fg, bg = split_lib.split_fg_bg(trajs, masks)
+        video_io.save_npz(self.paths["fg_trajectories_file"], trajectories=fg)
+        video_io.save_npz(self.paths["bg_trajectories_file"], trajectories=bg)
+        logger.info("split: %d fg / %d bg trajectories", len(fg), len(bg))
+        return fg, bg
+
+    def compute_best_buddies(self, features: np.ndarray,
+                             unfiltered_trajs: np.ndarray):
+        h, w = self.cfg.video_resh, self.cfg.video_resw
+        stride = self.cfg.dino_stride
+        bb = bb_lib.extract_best_buddies(
+            jnp.asarray(features), h, w, stride,
+            cap=self.cfg.bb_max_pairs_per_frame_pair, progress=self.progress)
+        bb = bb_lib.of_filter_best_buddies(bb, unfiltered_trajs, h, w, stride)
+        bb = bb_lib.compute_bb_ambiguity(
+            bb, jnp.asarray(features), h, w, stride,
+            box_size=float(self.cfg.dino_bb_box_size),
+            iou_thresh=self.cfg.dino_bb_iou_threshold,
+            topk=self.cfg.dino_bb_nms_topk, progress=self.progress)
+        out = os.path.join(self.paths["dino_bb_dir"],
+                           "dino_best_buddies_filtered.npz")
+        save_bb_data(out, bb)
+        logger.info("saved %s", out)
+        return bb
+
+    # -- full run ---------------------------------------------------------
+    def run(self):
+        # 1. trajectories with direct-flow filter (training supervision)
+        trajs = self.extract_trajectories(
+            self.cfg.filter_using_direct_flow, self.paths["trajectories_file"])
+        # 2. DINO features
+        feats = self.extract_dino_features(
+            self.cfg.dino_layer, self.paths["dino_embed_video_path"])
+        # 3. FG masks (skip if GT masks provided — main_preprocessing.py:38-51)
+        if not os.path.exists(self.paths["masks_path"]):
+            mask_feats = self.extract_dino_features(
+                self.cfg.mask_dino_layer,
+                self.paths["mask_dino_embed_video_path"])
+            self.create_fg_masks(mask_feats)
+        else:
+            logger.info("masks exist, skipping fg-mask stage")
+        # 4. fg/bg split
+        self.split_trajectories(trajs)
+        # 5. best buddies (uses trajectories WITHOUT the direct-flow filter)
+        unfiltered = self.extract_trajectories(
+            False, self.paths["unfiltered_trajectories_file"])
+        self.compute_best_buddies(feats, unfiltered)

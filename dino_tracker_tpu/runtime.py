@@ -1,0 +1,144 @@
+"""Per-video runtime: artifact loading, training and inference drivers.
+
+Equivalent of the reference ``DINOTracker`` class (dino_tracker.py:22-448) +
+the model-loading glue in the CLIs: binds a video's on-disk artifacts
+(features, trajectories, masks, best buddies) to device arrays and exposes
+train / infer entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TrainConfig, add_config_paths
+from .models.tracker import TrackerConfig
+from .structures import load_bb_data
+from .training import checkpoint as ckpt_lib
+from .training import train as train_lib
+from .training.sampler import build_bank
+from .inference.infer import ModelInference
+from .models import tracker as tracker_lib
+from .utils import video_io
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DINOTrackerRuntime:
+    data_path: str
+    cfg: TrainConfig
+    seed: int = 2
+
+    def __post_init__(self):
+        self.paths = add_config_paths(self.data_path)
+        self.tcfg = TrackerConfig(video_h=self.cfg.video_resh,
+                                  video_w=self.cfg.video_resw,
+                                  dino_patch_size=self.cfg.dino_patch_size,
+                                  stride=self.cfg.stride)
+        self.orig_h, self.orig_w, self.video_len = \
+            video_io.get_original_video_res(self.paths["video_folder"])
+        self._data = None
+
+    # ------------------------------------------------------------------
+    def load_video_data(self) -> train_lib.VideoData:
+        if self._data is not None:
+            return self._data
+        video = video_io.load_video(
+            self.paths["video_folder"],
+            resize=(self.cfg.video_resh, self.cfg.video_resw))
+        dino = video_io.load_npz(self.paths["dino_embed_video_path"])["features"]
+        fg_masks = video_io.load_masks(self.paths["masks_path"],
+                                       h_resize=self.cfg.video_resh,
+                                       w_resize=self.cfg.video_resw)
+        bb = load_bb_data(os.path.join(self.paths["dino_bb_dir"],
+                                       "dino_best_buddies_filtered.npz"))
+        fg = video_io.load_npz(self.paths["fg_trajectories_file"])["trajectories"]
+        bg = video_io.load_npz(self.paths["bg_trajectories_file"])["trajectories"]
+        self._data = train_lib.VideoData(
+            video=jnp.asarray(video), dino_embed=jnp.asarray(dino),
+            fg_masks=jnp.asarray(fg_masks), bb=bb,
+            fg_bank=build_bank(fg), bg_bank=build_bank(bg))
+        return self._data
+
+    # ------------------------------------------------------------------
+    def train(self) -> train_lib.TrainState:
+        data = self.load_video_data()
+        trainer = train_lib.Trainer(cfg=self.cfg, tcfg=self.tcfg, data=data,
+                                    ckpt_folder=self.paths["ckpt_folder"],
+                                    seed=self.seed)
+        return trainer.train()
+
+    # ------------------------------------------------------------------
+    def load_state(self, step: Optional[int] = None) -> train_lib.TrainState:
+        template = train_lib.init_train_state(
+            jax.random.PRNGKey(self.seed), self.cfg, self.tcfg)
+        return ckpt_lib.load_state(self.paths["ckpt_folder"], template, step)
+
+    def get_model_inference(self, step: Optional[int] = None,
+                            chunk: int = 4096) -> ModelInference:
+        data = self.load_video_data()
+        state = self.load_state(step)
+        refined = tracker_lib.cache_refined_embeddings(
+            state.params, state.batch_stats, data.video, data.dino_embed,
+            self.tcfg)
+        return ModelInference(
+            params=state.params, refined_features=refined, cfg=self.tcfg,
+            anchor_cosine_similarity_threshold=
+                self.cfg.anchor_cosine_similarity_threshold,
+            cosine_similarity_threshold=self.cfg.cosine_similarity_threshold,
+            chunk=chunk)
+
+    # ------------------------------------------------------------------
+    def infer_benchmark(self, benchmark_pickle_path: str, video_id: int,
+                        step: Optional[int] = None, chunk: int = 4096):
+        """Per-query-frame trajectory/occlusion predictions saved as .npy
+        (reference inference_benchmark.py:13-41)."""
+        from .evaluation.tapvid import get_query_points_from_benchmark_config
+        mi = self.get_model_inference(step, chunk)
+        qp = get_query_points_from_benchmark_config(
+            benchmark_pickle_path, video_id,
+            rescale_sizes=[self.cfg.video_resw, self.cfg.video_resh])
+        os.makedirs(self.paths["trajectories_dir"], exist_ok=True)
+        os.makedirs(self.paths["occlusions_dir"], exist_ok=True)
+        for frame_idx in sorted(qp.keys()):
+            pts = np.asarray(qp[frame_idx], np.float32)
+            trajs, occ = mi.infer(pts)
+            np.save(os.path.join(self.paths["trajectories_dir"],
+                                 f"trajectories_{frame_idx}.npy"), trajs)
+            np.save(os.path.join(self.paths["occlusions_dir"],
+                                 f"occlusion_preds_{frame_idx}.npy"), occ)
+            logger.info("saved predictions for query frame %d (%d points)",
+                        frame_idx, len(pts))
+
+    def infer_grid(self, interval: int = 10, start_frame: int = 0,
+                   use_segm_mask: bool = False, step: Optional[int] = None,
+                   chunk: int = 4096):
+        """Every-``interval``-px grid queries on one frame (reference
+        inference_grid.py:12-41)."""
+        mi = self.get_model_inference(step, chunk)
+        segm = None
+        if use_segm_mask:
+            masks = video_io.load_masks(self.paths["masks_path"],
+                                        h_resize=None, w_resize=None)
+            segm = masks[start_frame]
+        qp = video_io.get_grid_query_points((self.orig_h, self.orig_w),
+                                            segm_mask=segm, interval=interval,
+                                            query_frame=start_frame)
+        scale = np.asarray([self.cfg.video_resw / self.orig_w,
+                            self.cfg.video_resh / self.orig_h, 1.0],
+                           np.float32)
+        trajs, occ = mi.infer(qp * scale)
+        os.makedirs(self.paths["grid_trajectories_dir"], exist_ok=True)
+        os.makedirs(self.paths["grid_occlusions_dir"], exist_ok=True)
+        np.save(os.path.join(self.paths["grid_trajectories_dir"],
+                             "grid_trajectories.npy"), trajs)
+        np.save(os.path.join(self.paths["grid_occlusions_dir"],
+                             "grid_occlusions.npy"), occ)
+        return trajs, occ

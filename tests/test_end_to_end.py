@@ -1,0 +1,147 @@
+"""End-to-end smoke: preprocess → train → infer → eval on a tiny synthetic
+video (the pipeline-mechanics analog of the reference's bundled horsejump
+run, scaled down for CPU CI)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from dino_tracker_tpu.config import PreprocessConfig, TrainConfig, add_config_paths
+from dino_tracker_tpu.models.vit import ViTConfig, init_vit
+from dino_tracker_tpu.preprocessing.pipeline import PreprocessingPipeline
+from dino_tracker_tpu.runtime import DINOTrackerRuntime
+
+RNG = np.random.default_rng(29)
+
+T, H, W = 6, 70, 98
+
+
+class StaticFlowEngine:
+    """Flow engine test double: constant (dx, dy) translation per frame."""
+
+    def __init__(self, t, h, w, dx=0.0, dy=0.0):
+        self.t, self.h, self.w = t, h, w
+        self.dx, self.dy = dx, dy
+
+    def adjacent_flows(self, progress=False):
+        fwd = np.zeros((self.t - 1, 2, self.h, self.w), np.float32)
+        fwd[:, 0] = self.dx
+        fwd[:, 1] = self.dy
+        return fwd, -fwd
+
+    def direct_flows(self, start, threshold):
+        n = self.t - 1 - start
+        dflows = np.zeros((n, self.h, self.w, 2), np.float32)
+        for k in range(n):
+            dflows[k, :, :, 0] = self.dx * (k + 1)
+            dflows[k, :, :, 1] = self.dy * (k + 1)
+        return dflows, np.ones((n, self.h, self.w), np.float32)
+
+
+def make_video_dir(root):
+    video_dir = os.path.join(root, "video")
+    masks_dir = os.path.join(root, "masks")
+    os.makedirs(video_dir)
+    os.makedirs(masks_dir)
+    base = (RNG.random((H, W, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:40, 30:60] = 255
+    for i in range(T):
+        Image.fromarray(base).save(os.path.join(video_dir, f"{i:05d}.png"))
+        Image.fromarray(mask).save(os.path.join(masks_dir, f"{i:05d}.png"))
+    return video_dir, masks_dir
+
+
+VIT = ViTConfig(embed_dim=16, depth=3, num_heads=2, mlp_ratio=2,
+                patch_size=14, pretrain_grid=5)
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("video_data"))
+    make_video_dir(root)
+    pcfg = PreprocessConfig(video_resh=H, video_resw=W, dino_layer=1,
+                            mask_dino_layer=2, bb_max_pairs_per_frame_pair=64,
+                            dino_bb_nms_topk=20, dino_bb_box_size=10)
+    vit_params = init_vit(jax.random.PRNGKey(0), VIT)
+    pipe = PreprocessingPipeline(
+        root, pcfg, vit_params=vit_params, vit_cfg=VIT, progress=False,
+        flow_engine_override=StaticFlowEngine(T, H, W))
+    pipe.run()
+    return root
+
+
+def test_preprocessing_artifacts(pipeline_dir):
+    paths = add_config_paths(pipeline_dir)
+    for key in ("trajectories_file", "unfiltered_trajectories_file",
+                "fg_trajectories_file", "bg_trajectories_file",
+                "dino_embed_video_path"):
+        assert os.path.exists(paths[key]), key
+    assert os.path.exists(os.path.join(paths["dino_bb_dir"],
+                                       "dino_best_buddies_filtered.npz"))
+    feats = np.load(paths["dino_embed_video_path"])["features"]
+    assert feats.shape == (T, 16, 9, 13)
+    fg = np.load(paths["fg_trajectories_file"])["trajectories"]
+    bg = np.load(paths["bg_trajectories_file"])["trajectories"]
+    # static flow: every pixel has a full-length trajectory from frame 0
+    assert fg.shape[0] + bg.shape[0] == H * W
+    assert fg.shape[0] > 100  # the mask block
+    assert bg.shape[0] > 100
+
+
+def test_train_infer_eval_cycle(pipeline_dir, tmp_path):
+    cfg = TrainConfig(video_resh=H, video_resw=W, total_iterations=4,
+                      checkpoint_interval=100, train_batch_size=32,
+                      batch_n_frames=4, cyc_n_frames=2,
+                      cyc_batch_size_per_frame=8, cl_n_frames=2,
+                      cl_points_per_pair=8, apply_cyc_after=2,
+                      apply_cl_ref_after=2)
+    rt = DINOTrackerRuntime(pipeline_dir, cfg)
+    # small DeltaDINO for the 16-dim test features
+    import dataclasses
+    rt.tcfg = dataclasses.replace(rt.tcfg, delta_channels=(3, 4, 4, 4, 16))
+    state = rt.train()
+    assert int(state.step) == 4
+    paths = add_config_paths(pipeline_dir)
+    assert os.path.exists(os.path.join(paths["ckpt_folder"],
+                                       "state_4.msgpack"))
+
+    # benchmark inference: 3 query points at frame 0
+    import pickle
+    benchmark = {"videos": [{
+        "video_idx": 0, "h": H, "w": W,
+        "query_points": {0: [[30.0, 25.0], [50.0, 30.0], [10.0, 60.0]]},
+        "target_points": {0: np.tile(np.asarray(
+            [[30.0, 25.0], [50.0, 30.0], [10.0, 60.0]],
+            np.float32)[:, None], (1, T, 1))},
+        "occluded": {0: np.zeros((3, T), bool)},
+    }]}
+    pkl = os.path.join(str(tmp_path), "benchmark.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(benchmark, f)
+
+    rt.infer_benchmark(pkl, 0, chunk=64)
+    trajs = np.load(os.path.join(paths["trajectories_dir"],
+                                 "trajectories_0.npy"))
+    occ = np.load(os.path.join(paths["occlusions_dir"],
+                               "occlusion_preds_0.npy"))
+    assert trajs.shape == (3, T, 2)
+    assert occ.shape == (3, T)
+    assert np.isfinite(trajs).all()
+
+    # eval
+    from dino_tracker_tpu.evaluation.metrics import (
+        compute_tapvid_metrics_for_video)
+    m = compute_tapvid_metrics_for_video(
+        paths["trajectories_dir"], paths["occlusions_dir"], benchmark, 0,
+        pred_video_sizes=[W, H])
+    assert 0.0 <= m["average_jaccard"] <= 1.0
+    assert 0.0 <= m["occlusion_accuracy"] <= 1.0
+
+    # grid inference
+    trajs_g, occ_g = rt.infer_grid(interval=24, chunk=64)
+    assert trajs_g.shape[1] == T and trajs_g.shape[2] == 2
