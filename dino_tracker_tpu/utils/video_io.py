@@ -24,10 +24,23 @@ def list_frame_files(folder: str):
 
 def load_video(video_folder: str, resize: Optional[Tuple[int, int]] = None,
                num_frames: Optional[int] = None) -> np.ndarray:
-    """Load a frame folder -> float32 T×3×H×W in [0, 1] (LANCZOS resize)."""
+    """Load a frame folder -> float32 T×3×H×W in [0, 1] (LANCZOS resize).
+
+    Uses the native multithreaded decoder (native/video_io.cpp) when built —
+    PIL fallback otherwise, or with DINO_TRACKER_NATIVE_IO=0. The native path
+    resamples with PIL's Lanczos-3 kernel in float (PIL quantizes weights to
+    8 bits, so outputs agree to ~1/255).
+    """
     files = list_frame_files(video_folder)
     if num_frames is not None:
         files = files[:num_frames]
+
+    if resize is not None and os.environ.get("DINO_TRACKER_NATIVE_IO", "1") != "0":
+        from . import native_io
+        out = native_io.decode_resize_batch(files, resize[0], resize[1])
+        if out is not None:
+            return out
+
     frames = []
     for f in files:
         img = Image.open(str(f)).convert("RGB")
