@@ -97,9 +97,19 @@ class TrainConfig:
     # occlusion prediction
     anchor_cosine_similarity_threshold: float = 0.7
     cosine_similarity_threshold: float = 0.6
+    # DINO variant (sets the feature dim the DeltaDINO refiner must emit)
+    dino_model_name: str = "dinov2_vitl14"
     # TPU-specific knobs (ours)
     bb_max_pairs_per_frame_pair: int = 1024  # padded best-buddy capacity
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
+
+    @property
+    def dino_embed_dim(self) -> int:
+        dims = {"vits": 384, "vitb": 768, "vitl": 1024, "vitg": 1536}
+        for key, dim in dims.items():
+            if key in self.dino_model_name:
+                return dim
+        raise ValueError(f"unknown dino model {self.dino_model_name}")
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

@@ -261,3 +261,17 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
         else:
             chunks.append(run(frames))
     return jnp.concatenate(chunks, axis=0)
+
+
+def keys_self_similarity(params, frames_nchw, cfg: ViTConfig, stride: int,
+                         layer: int, attn_impl: str = "auto"):
+    """Cosine self-similarity of a layer's key facet across all tokens
+    (reference extractor.py:269-274 ``get_keys_self_sim_from_input``).
+    Returns B×S×S."""
+    outs, _ = forward_features(params, frames_nchw, cfg, stride, [layer],
+                               facet="keys", attn_impl=attn_impl)
+    keys = outs[0]  # B×S×D
+    norm = jnp.linalg.norm(keys, axis=-1, keepdims=True)
+    normed = keys / jnp.clip(norm, min=1e-8)
+    return jnp.einsum("bsd,btd->bst", normed, normed,
+                      preferred_element_type=jnp.float32)

@@ -38,10 +38,10 @@ class DINOTrackerRuntime:
 
     def __post_init__(self):
         self.paths = add_config_paths(self.data_path)
-        self.tcfg = TrackerConfig(video_h=self.cfg.video_resh,
-                                  video_w=self.cfg.video_resw,
-                                  dino_patch_size=self.cfg.dino_patch_size,
-                                  stride=self.cfg.stride)
+        self.tcfg = TrackerConfig(
+            video_h=self.cfg.video_resh, video_w=self.cfg.video_resw,
+            dino_patch_size=self.cfg.dino_patch_size, stride=self.cfg.stride,
+            delta_channels=(3, 64, 128, 256, self.cfg.dino_embed_dim))
         self.orig_h, self.orig_w, self.video_len = \
             video_io.get_original_video_res(self.paths["video_folder"])
         self._data = None
@@ -61,10 +61,17 @@ class DINOTrackerRuntime:
                                        "dino_best_buddies_filtered.npz"))
         fg = video_io.load_npz(self.paths["fg_trajectories_file"])["trajectories"]
         bg = video_io.load_npz(self.paths["bg_trajectories_file"])["trajectories"]
+        self._rotator = None
+        if self.cfg.keep_traj_in_cpu:
+            from .training.sampler import BankRotator
+            self._rotator = BankRotator(fg, bg)
+            fg_bank, bg_bank = self._rotator.current()
+        else:
+            fg_bank, bg_bank = build_bank(fg), build_bank(bg)
         self._data = train_lib.VideoData(
             video=jnp.asarray(video), dino_embed=jnp.asarray(dino),
             fg_masks=jnp.asarray(fg_masks), bb=bb,
-            fg_bank=build_bank(fg), bg_bank=build_bank(bg))
+            fg_bank=fg_bank, bg_bank=bg_bank)
         return self._data
 
     # ------------------------------------------------------------------
@@ -72,7 +79,8 @@ class DINOTrackerRuntime:
         data = self.load_video_data()
         trainer = train_lib.Trainer(cfg=self.cfg, tcfg=self.tcfg, data=data,
                                     ckpt_folder=self.paths["ckpt_folder"],
-                                    seed=self.seed)
+                                    seed=self.seed,
+                                    bank_rotator=self._rotator)
         return trainer.train()
 
     # ------------------------------------------------------------------

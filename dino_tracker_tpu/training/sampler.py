@@ -141,3 +141,45 @@ def sample_batch(key, fg_bank: TrajectoryBank, bg_bank: TrajectoryBank,
     t1_out = jnp.concatenate([t1_points[:, :2], t1_norm[:, 2:3]], axis=1)
     return TrainSample(frames_set_t, source_frame_indices,
                        target_frame_indices, t1_out, t2_norm, t2_points[:, 2])
+
+
+class BankRotator:
+    """Host-RAM trajectory windowing for long videos.
+
+    The reference pages 200k-trajectory windows between CPU and GPU
+    (data/dataset.py:70-131, ``keep_traj_in_cpu`` / ``load_next_batch``);
+    here the full set stays in host RAM and fixed-size windows rotate into
+    HBM — padded to the window size so the jitted train step never
+    recompiles.
+    """
+
+    def __init__(self, fg_trajectories: np.ndarray, bg_trajectories: np.ndarray,
+                 window: int = 200_000):
+        self.window = window
+        self._fg = self._prep(fg_trajectories)
+        self._bg = self._prep(bg_trajectories)
+        self._fg_idx = 0
+        self._bg_idx = 0
+
+    @staticmethod
+    def _prep(traj):
+        valid = ~np.isnan(traj).any(axis=-1)
+        keep = valid.sum(axis=1) > 1
+        return traj[keep]
+
+    def _window(self, traj, start):
+        n = traj.shape[0]
+        if n <= self.window:
+            return build_bank(traj, pad_to=self.window)
+        idx = (start + np.arange(self.window)) % n
+        return build_bank(traj[idx], pad_to=self.window)
+
+    def current(self):
+        return (self._window(self._fg, self._fg_idx),
+                self._window(self._bg, self._bg_idx))
+
+    def advance(self):
+        """Rotate to the next window (reference ``load_next_batch``)."""
+        self._fg_idx = (self._fg_idx + self.window) % max(self._fg.shape[0], 1)
+        self._bg_idx = (self._bg_idx + self.window) % max(self._bg.shape[0], 1)
+        return self.current()

@@ -170,6 +170,7 @@ class Trainer:
     data: VideoData
     ckpt_folder: str
     seed: int = 2
+    bank_rotator: Optional[object] = None  # sampler.BankRotator for long videos
 
     def __post_init__(self):
         self._steps = {}
@@ -214,6 +215,13 @@ class Trainer:
             if i == self.cfg.total_iterations - 1 or (
                     i % self.cfg.checkpoint_interval == 0 and i > 0):
                 ckpt_lib.save_state(self.ckpt_folder, state, i)
+            # rotate the HBM trajectory window (reference load_next_batch,
+            # dino_tracker.py:444-446)
+            if (self.bank_rotator is not None and i > 0
+                    and i % self.cfg.sampler_batch_iterations == 0):
+                fg_bank, bg_bank = self.bank_rotator.advance()
+                self.data = self.data._replace(fg_bank=fg_bank,
+                                               bg_bank=bg_bank)
         ckpt_lib.save_state(self.ckpt_folder, state,
                             self.cfg.total_iterations)
         return state

@@ -68,3 +68,22 @@ def test_sampled_points_match_bank_coords():
         frame_coords = coords[:, t2[i], :]
         d = np.abs(frame_coords - xy[i]).sum(axis=1)
         assert d.min() < 1e-3
+
+
+def test_bank_rotator_windows_and_advances():
+    t = 6
+    traj = make_trajs(50, t, visible_prob=1.0)
+    rot = sampler.BankRotator(traj, traj, window=20)
+    fg, bg = rot.current()
+    assert fg.coords.shape == (20, t, 2)
+    assert int(fg.count) == 20
+    first = np.asarray(fg.coords[:, 0, 0]).copy()
+    fg2, _ = rot.advance()
+    assert fg2.coords.shape == (20, t, 2)
+    second = np.asarray(fg2.coords[:, 0, 0])
+    assert not np.allclose(first, second)  # different window
+    # small sets are padded, count reflects real rows
+    rot_small = sampler.BankRotator(traj[:5], traj[:5], window=20)
+    fg3, _ = rot_small.current()
+    assert fg3.coords.shape == (20, t, 2)
+    assert int(fg3.count) == 5
