@@ -78,10 +78,13 @@ def align_cnn_vit_features(vit_hw: Tuple[int, int], cnn_features_nchw,
 
 
 def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
-                     train: bool, vit_stride: int = 7, vit_patch_size: int = 14):
+                     train: bool, vit_stride: int = 7, vit_patch_size: int = 14,
+                     compute_dtype=jnp.float32):
     """frames: N×3×H×W in [0,1] -> residual features N×C×vh×vw.
 
-    Returns (residual, new_batch_stats).
+    Returns (residual, new_batch_stats). With compute_dtype=bfloat16 the conv
+    inputs/weights run on the MXU in bf16 with f32 accumulation; batch-norm
+    statistics and the residual output stay f32.
     """
     x = nn.nchw_to_nhwc(frames_nchw)
     new_stats = []
@@ -90,8 +93,9 @@ def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
         is_last = i == n_layers - 1
         dilation = DILATIONS[i]
         padding = (KERNEL_SIZE + (KERNEL_SIZE - 1) * (dilation - 1)) // 2
-        x = nn.conv2d(x, layer["conv"], stride=1, dilation=dilation,
-                      padding=padding, padding_mode="reflect")
+        x = nn.conv2d(x.astype(compute_dtype), layer["conv"], stride=1,
+                      dilation=dilation, padding=padding,
+                      padding_mode="reflect")
         x, s = nn.batchnorm(x, layer["bn"], stats, train=train)
         new_stats.append(s)
         if not is_last:

@@ -45,17 +45,21 @@ def conv2d(x_nhwc, params, stride: int = 1, dilation: int = 1,
         pad = "VALID"
     else:
         pad = [(padding, padding), (padding, padding)]
+    # bf16 operands: leave preferred_element_type unset — the TPU MXU
+    # accumulates bf16 convs in f32 internally and emits bf16, and matching
+    # operand/cotangent dtypes keeps the conv differentiable.
+    preferred = jnp.float32 if x_nhwc.dtype == jnp.float32 else None
     out = jax.lax.conv_general_dilated(
-        x_nhwc, params["w"],
+        x_nhwc, params["w"].astype(x_nhwc.dtype),
         window_strides=(stride, stride),
         padding=pad,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if "b" in params and params["b"] is not None:
-        out = out + params["b"]
+        out = out + params["b"].astype(out.dtype)
     return out
 
 
@@ -70,6 +74,7 @@ def batchnorm(x_nhwc, params, stats, train: bool, momentum: float = 0.1,
               eps: float = 1e-5):
     """torch BatchNorm2d semantics: biased batch var for normalization,
     unbiased var for the running-stat update. Returns (out, new_stats)."""
+    x_nhwc = x_nhwc.astype(jnp.float32)  # stats and affine always in f32
     if train:
         axes = (0, 1, 2)
         mean = jnp.mean(x_nhwc, axis=axes)

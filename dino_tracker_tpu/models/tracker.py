@@ -32,6 +32,9 @@ class TrackerConfig:
     stride: int = 7
     argmax_radius: float = 35.0
     delta_channels: Tuple[int, ...] = (3, 64, 128, 256, 1024)
+    # matmul/conv input dtype ("float32" | "bfloat16"); accumulation is
+    # always f32 (preferred_element_type) and head/loss math stays f32
+    compute_dtype: str = "float32"
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -73,7 +76,8 @@ def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
     frames = video_tchw[frames_set_t]
     residual, new_dd_stats = dd.apply_delta_dino(
         params["delta_dino"], batch_stats["delta_dino"], frames, cfg.feat_hw,
-        train=train, vit_stride=cfg.stride, vit_patch_size=cfg.dino_patch_size)
+        train=train, vit_stride=cfg.stride, vit_patch_size=cfg.dino_patch_size,
+        compute_dtype=jnp.dtype(cfg.compute_dtype))
     refined = raw + residual
     return refined, residual, raw, {"delta_dino": new_dd_stats}
 
@@ -85,7 +89,7 @@ def sample_embeddings(embeddings_nchw, points_b3):
 
 
 def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
-                  target_frame_indices_b):
+                  target_frame_indices_b, compute_dtype=jnp.float32):
     """Cosine correlation of each source embedding against its target frame.
 
     Computes the full B×N map stack as one MXU matmul then selects the target
@@ -94,7 +98,9 @@ def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
     """
     n, c, h, w = frame_embeddings_nchw.shape
     frames_flat = frame_embeddings_nchw.reshape(n, c, h * w)
-    corr_all = jnp.einsum("bc,nck->bnk", source_embeddings_bc, frames_flat,
+    corr_all = jnp.einsum("bc,nck->bnk",
+                          source_embeddings_bc.astype(compute_dtype),
+                          frames_flat.astype(compute_dtype),
                           preferred_element_type=jnp.float32)  # B×N×(hw)
     tgt = target_frame_indices_b.astype(jnp.int32)
     corr = jnp.take_along_axis(corr_all, tgt[:, None, None], axis=1)[:, 0]  # B×hw
@@ -110,7 +116,8 @@ def get_point_predictions_from_embeddings(params, source_embeddings,
                                           frame_embeddings, target_frame_indices,
                                           cfg: TrackerConfig):
     corr_maps = get_corr_maps(source_embeddings, frame_embeddings,
-                              target_frame_indices)
+                              target_frame_indices,
+                              compute_dtype=jnp.dtype(cfg.compute_dtype))
     corr_maps = jax.nn.relu(corr_maps)
     return th.apply_tracker_head(params["tracker_head"], corr_maps,
                                  (cfg.video_h, cfg.video_w),

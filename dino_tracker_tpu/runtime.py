@@ -41,7 +41,8 @@ class DINOTrackerRuntime:
         self.tcfg = TrackerConfig(
             video_h=self.cfg.video_resh, video_w=self.cfg.video_resw,
             dino_patch_size=self.cfg.dino_patch_size, stride=self.cfg.stride,
-            delta_channels=(3, 64, 128, 256, self.cfg.dino_embed_dim))
+            delta_channels=(3, 64, 128, 256, self.cfg.dino_embed_dim),
+            compute_dtype=self.cfg.compute_dtype)
         self.orig_h, self.orig_w, self.video_len = \
             video_io.get_original_video_res(self.paths["video_folder"])
         self._data = None

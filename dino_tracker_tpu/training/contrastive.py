@@ -120,7 +120,8 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
         source_f = flat[src_idx].T  # n×c
         target_f = flat[tgt_idx].T
         aff = losses.cosine_affinity(jax.lax.stop_gradient(source_f),
-                                     jax.lax.stop_gradient(target_f))
+                                     jax.lax.stop_gradient(target_f),
+                                     compute_dtype=jnp.dtype(cfg.compute_dtype))
         src_is_bb, tgt_of_src = losses.mutual_nn(aff)
 
         sf = frames_set_t[src_idx]

@@ -109,10 +109,11 @@ def mutual_nn(affinity_nm):
     return rng == tgt_max[src_max], src_max.astype(jnp.int32)
 
 
-def cosine_affinity(source_f, target_f):
+def cosine_affinity(source_f, target_f, compute_dtype=jnp.float32):
     """n×m cosine affinity with the reference's EPS clamp
     (dino_tracker.py:276-277)."""
-    aff = jnp.einsum("nc,mc->nm", source_f, target_f,
+    aff = jnp.einsum("nc,mc->nm", source_f.astype(compute_dtype),
+                     target_f.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
     sn = jnp.linalg.norm(source_f, axis=1)
     tn = jnp.linalg.norm(target_f, axis=1)

@@ -131,3 +131,20 @@ def test_lr_schedule_matches_reference():
     assert dd_lr(0) == 0.01
     assert abs(dd_lr(40) - 0.01 * 0.999) < 1e-9
     assert abs(dd_lr(10000) - 0.01 * 0.999 ** 250) < 1e-9
+
+
+def test_train_step_bf16_compute_path():
+    """bf16 conv/matmul path runs and yields finite, f32-close losses."""
+    import dataclasses
+    tcfg, data = make_video_data()
+    tcfg_bf16 = dataclasses.replace(tcfg, compute_dtype="bfloat16")
+    state = train_lib.init_train_state(jax.random.PRNGKey(0), CFG, tcfg_bf16)
+    step = train_lib.make_train_step(CFG, tcfg_bf16, True, True)
+    s1, metrics = step(state, data, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # same seed in f32: tracking loss should be close (bf16 noise only)
+    state32 = train_lib.init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+    step32 = train_lib.make_train_step(CFG, tcfg, True, True)
+    _, m32 = step32(state32, data, jax.random.PRNGKey(1))
+    assert abs(float(metrics["loss_of"]) - float(m32["loss_of"])) < 5e-3
