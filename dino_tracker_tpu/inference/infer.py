@@ -53,25 +53,32 @@ class ModelInference:
         scale = jnp.asarray([self.cfg.video_w - 1, self.cfg.video_h - 1],
                             jnp.float32)
 
-        def predict(params, source_points, source_frames, target_frames):
+        # the refined feature video and params enter the jitted fns as
+        # ARGUMENTS — closing over them would bake GB-scale constants into
+        # the compiled programs
+        def predict(params, refined, source_points, source_frames,
+                    target_frames):
             """B×3 pixel (x, y, t_abs) → B×2 pixel coords on target frames."""
             inp = TrackerInput(source_points, source_frames, target_frames,
                                frames_set)
-            out = tracker.get_point_predictions(params, inp,
-                                                self.refined_features, self.cfg)
+            out = tracker.get_point_predictions(params, inp, refined, self.cfg)
             return (out + 1.0) * 0.5 * scale
 
-        self._predict = jax.jit(predict)
+        _predict = jax.jit(predict)
+        self._predict = lambda p, sp, sf, tf: _predict(
+            p, self.refined_features, sp, sf, tf)
 
-        def sample_feats(points_b3):
+        def sample_feats(refined, points_b3):
             pts = jnp.asarray(points_b3)
             from ..utils import coords as cu
             norm = cu.normalize_points_for_sampling(
                 pts, self.cfg.video_h, self.cfg.video_w,
                 self.cfg.dino_patch_size, self.cfg.stride)
-            return tracker.sample_embeddings(self.refined_features, norm)
+            return tracker.sample_embeddings(refined, norm)
 
-        self._sample_feats = jax.jit(sample_feats)
+        _sample_feats = jax.jit(sample_feats)
+        self._sample_feats = lambda pts: _sample_feats(self.refined_features,
+                                                       pts)
 
     # ------------------------------------------------------------------
     def _predict_chunked(self, source_points, source_frames, target_frames):

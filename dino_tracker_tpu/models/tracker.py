@@ -179,11 +179,14 @@ def cache_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
     """
     t = video_tchw.shape[0]
     chunks = []
+    # everything enters as arguments (no baked-in constants), and chunk
+    # shapes stay static (clamped indices) so there is exactly one compile
     refine = jax.jit(
-        lambda fs: get_refined_embeddings(params, batch_stats, video_tchw,
-                                          dino_embed_tchw, fs, cfg,
-                                          train=False)[0])
+        lambda p, bs, v, d, fs: get_refined_embeddings(p, bs, v, d, fs, cfg,
+                                                       train=False)[0])
     for start in range(0, t, frames_chunk):
-        idx = jnp.arange(start, min(start + frames_chunk, t))
-        chunks.append(refine(idx))
+        e = min(start + frames_chunk, t)
+        idx = jnp.minimum(jnp.arange(start, start + frames_chunk), t - 1)
+        out = refine(params, batch_stats, video_tchw, dino_embed_tchw, idx)
+        chunks.append(out[: e - start])
     return jnp.concatenate(chunks, axis=0)

@@ -240,9 +240,11 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
     std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
 
     @jax.jit
-    def run(frames):
+    def run(p, frames):
+        # params enter as an argument — closing over them would bake 1.2 GB
+        # of ViT-L weights into the program as constants
         x = ((frames - mean) / std).astype(compute_dtype)
-        outs, grid_hw = forward_features(params, x, cfg, stride, [layer],
+        outs, grid_hw = forward_features(p, x, cfg, stride, [layer],
                                          facet, attn_impl)
         tokens = outs[0][:, 1:, :]  # drop cls
         n = tokens.shape[0]
@@ -250,6 +252,7 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
         return jnp.transpose(tokens, (0, 2, 1)).reshape(
             n, cfg.embed_dim, h0, w0).astype(jnp.float32)
 
+    from ..utils.retry import retry_transient
     chunks = []
     for s in range(0, t, frames_per_batch):
         e = min(s + frames_per_batch, t)
@@ -257,9 +260,9 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
         if e - s < frames_per_batch:
             pad = frames_per_batch - (e - s)
             frames = jnp.concatenate([frames, frames[-1:].repeat(pad, axis=0)])
-            chunks.append(run(frames)[: e - s])
-        else:
-            chunks.append(run(frames))
+        out = retry_transient(lambda: run(params, frames),
+                              what="dino feature batch")
+        chunks.append(out[: e - s])
     return jnp.concatenate(chunks, axis=0)
 
 

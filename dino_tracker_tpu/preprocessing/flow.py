@@ -46,8 +46,12 @@ class RaftFlowEngine:
                 pad = bsz - (e - s)
                 a = np.concatenate([a, a[-1:].repeat(pad, 0)])
                 b = np.concatenate([b, b[-1:].repeat(pad, 0)])
-            flow = raft.raft_forward(self.params, jnp.asarray(a),
-                                     jnp.asarray(b), num_iters=self.num_iters)
+            from ..utils.retry import retry_transient
+            flow = retry_transient(
+                lambda: raft.raft_forward(self.params, jnp.asarray(a),
+                                          jnp.asarray(b),
+                                          num_iters=self.num_iters),
+                what="raft batch")
             flow = self.padder.unpad(flow)
             out[s:e] = np.asarray(flow)[: e - s]
         return out
