@@ -81,11 +81,18 @@ def load_masks(masks_path: str, h_resize: Optional[int] = 476,
 
 
 def save_video(video_thwc: np.ndarray, output_path: str, fps: int = 30):
-    """Save a T×H×W×3 uint8 video as mp4."""
-    import imageio.v3 as iio
+    """Save a T×H×W×3 uint8 (RGB) video as mp4 (OpenCV writer — no external
+    plugin dependencies)."""
+    import cv2
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-    iio.imwrite(output_path, video_thwc, fps=fps,
-                extension=".mp4", plugin="pyav")
+    t, h, w = video_thwc.shape[:3]
+    writer = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    try:
+        for frame in video_thwc:
+            writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    finally:
+        writer.release()
 
 
 def save_video_frames(video: np.ndarray, folder: str):
