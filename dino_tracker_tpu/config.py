@@ -102,6 +102,7 @@ class TrainConfig:
     # TPU-specific knobs (ours)
     bb_max_pairs_per_frame_pair: int = 1024  # padded best-buddy capacity
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
+    steps_per_call: int = 25  # train iterations fused per dispatch (lax.scan)
 
     @property
     def dino_embed_dim(self) -> int:

@@ -53,6 +53,22 @@ def init_delta_dino(key, channels=CHANNELS, dtype=jnp.float32):
     return {"layers": params}, {"layers": stats}
 
 
+def _bilinear_axis_matrix(coords_norm, in_size: int):
+    """Dense [out, in] linear-interp matrix for normalized coords in [-1,1]
+    with grid_sample align_corners=True + border-clip semantics (host-side
+    NumPy — the grid is static)."""
+    import numpy as np
+    src = (np.asarray(coords_norm, np.float64) + 1.0) * 0.5 * (in_size - 1)
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = src - lo
+    mat = np.zeros((len(src), in_size), np.float32)
+    np.add.at(mat, (np.arange(len(src)), lo), 1.0 - w)
+    np.add.at(mat, (np.arange(len(src)), hi), w)
+    return mat
+
+
 def align_cnn_vit_features(vit_hw: Tuple[int, int], cnn_features_nchw,
                            vit_patch_size: int = 14, vit_stride: int = 7,
                            cnn_stride: int = 8):
@@ -61,20 +77,25 @@ def align_cnn_vit_features(vit_hw: Tuple[int, int], cnn_features_nchw,
     Exact reference grid math (models/utils.py:7-45): CNN feature (i, j) sits
     at pixel (i*cnn_stride, j*cnn_stride); ViT feature k at
     k*vit_stride + patch/2; normalized with an extra -1/c_br half-texel shift.
+
+    The grid is separable and static, so the resample is two small dense
+    matmuls (MXU-friendly, dense matmul backward) instead of a gather whose
+    backward is a TPU-hostile scatter-add over 33M elements.
     """
+    import numpy as np
     vh, vw = vit_hw
-    c_sz = cnn_features_nchw.shape[-2:]
-    c_br = [(s - 1) * cnn_stride for s in c_sz]
-    vit_x = jnp.arange(vw, dtype=jnp.float32) * vit_stride + vit_patch_size / 2.0
-    vit_y = jnp.arange(vh, dtype=jnp.float32) * vit_stride + vit_patch_size / 2.0
+    ch, cw = cnn_features_nchw.shape[-2:]
+    c_br = [(ch - 1) * cnn_stride, (cw - 1) * cnn_stride]
+    vit_x = np.arange(vw, dtype=np.float64) * vit_stride + vit_patch_size / 2.0
+    vit_y = np.arange(vh, dtype=np.float64) * vit_stride + vit_patch_size / 2.0
     gx = -1.0 - (1.0 / c_br[1]) + (2.0 * vit_x / c_br[1])
     gy = -1.0 - (1.0 / c_br[0]) + (2.0 * vit_y / c_br[0])
-    gxx, gyy = jnp.meshgrid(gx, gy)  # vh×vw
-    grid = jnp.stack([gxx, gyy], axis=-1)[None]
-    grid = jnp.broadcast_to(grid, (cnn_features_nchw.shape[0],) + grid.shape[1:])
-    grid = jax.lax.stop_gradient(grid)
-    return grid_sample_nchw(cnn_features_nchw, grid, align_corners=True,
-                            padding_mode="border", mode="bilinear")
+    wy = jnp.asarray(_bilinear_axis_matrix(gy, ch))  # vh×ch
+    wx = jnp.asarray(_bilinear_axis_matrix(gx, cw))  # vw×cw
+    out = jnp.einsum("oh,nchw->ncow", wy, cnn_features_nchw,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,ncow->ncop", wx, out,
+                      preferred_element_type=jnp.float32)
 
 
 def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],

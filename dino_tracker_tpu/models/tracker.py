@@ -103,10 +103,13 @@ def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
                           frames_flat.astype(compute_dtype),
                           preferred_element_type=jnp.float32)  # B×N×(hw)
     tgt = target_frame_indices_b.astype(jnp.int32)
-    corr = jnp.take_along_axis(corr_all, tgt[:, None, None], axis=1)[:, 0]  # B×hw
+    # target selection as a one-hot contraction: backward is a dense outer
+    # product instead of take_along_axis's scatter
+    onehot = jax.nn.one_hot(tgt, n, dtype=corr_all.dtype)  # B×N
+    corr = jnp.einsum("bnk,bn->bk", corr_all, onehot)  # B×hw
 
     frame_norms = jnp.linalg.norm(frames_flat, axis=1)  # N×hw
-    target_norms = frame_norms[tgt]  # B×hw
+    target_norms = jnp.einsum("nk,bn->bk", frame_norms, onehot)  # B×hw
     source_norms = jnp.linalg.norm(source_embeddings_bc, axis=1)[:, None]
     corr = corr / jnp.clip(source_norms * target_norms, min=EPS)
     return corr.reshape(-1, 1, h, w)

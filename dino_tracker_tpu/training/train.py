@@ -79,16 +79,21 @@ def init_train_state(key, cfg: TrainConfig, tcfg: TrackerConfig) -> TrainState:
 
 
 def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
-                    use_cyc: bool, use_cl_ref: bool, mesh=None):
+                    use_cyc: bool, use_cl_ref: bool, mesh=None,
+                    steps_per_call: int = 1):
     """Build the jitted step for one phase. use_cyc/use_cl_ref are static.
 
     With ``mesh`` the point-batch and frame axes shard over the ``data``
-    mesh axis (params replicated; XLA inserts the gradient psum)."""
+    mesh axis (params replicated; XLA inserts the gradient psum).
+
+    ``steps_per_call > 1`` rolls that many train iterations into one program
+    via lax.scan — per-dispatch host↔device latency (dominant on remote-relay
+    TPU setups) amortizes across the chunk; returned metrics are chunk means.
+    """
     tx = make_optimizer(cfg)
     from ..parallel.mesh import constrain_batch
 
-    @jax.jit
-    def train_step(state: TrainState, data: VideoData, key):
+    def train_step_body(state: TrainState, data: VideoData, key):
         video_len = data.video.shape[0]
         k_sample, k_cyc, k_cl_dino, k_cl_ref = jax.random.split(key, 4)
 
@@ -157,7 +162,19 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
         return TrainState(new_params, new_stats, new_opt_state,
                           state.step + 1), metrics
 
-    return train_step
+    if steps_per_call == 1:
+        return jax.jit(train_step_body)
+
+    @jax.jit
+    def train_multi(state: TrainState, data: VideoData, key):
+        keys = jax.random.split(key, steps_per_call)
+        def one(carry, k):
+            new_state, metrics = train_step_body(carry, data, k)
+            return new_state, metrics
+        state, metrics = jax.lax.scan(one, state, keys)
+        return state, jax.tree.map(lambda m: jnp.mean(m), metrics)
+
+    return train_multi
 
 
 @dataclasses.dataclass
@@ -175,14 +192,31 @@ class Trainer:
     def __post_init__(self):
         self._steps = {}
 
-    def _step_fn(self, i: int):
+    def _step_fn(self, i: int, n: int):
         use_cyc = i >= self.cfg.apply_cyc_after
         use_cl_ref = i >= self.cfg.apply_cl_ref_after
-        key = (use_cyc, use_cl_ref)
+        key = (use_cyc, use_cl_ref, n)
         if key not in self._steps:
             self._steps[key] = make_train_step(self.cfg, self.tcfg,
-                                               use_cyc, use_cl_ref)
+                                               use_cyc, use_cl_ref,
+                                               steps_per_call=n)
         return self._steps[key]
+
+    def _next_chunk(self, i: int, log_interval: int) -> int:
+        """Longest chunk from ``i`` that crosses no phase/log/ckpt/rotation
+        boundary (with default configs every boundary is a multiple of
+        steps_per_call, so this stays one compiled variant per phase)."""
+        cfg = self.cfg
+        n = min(max(cfg.steps_per_call, 1), cfg.total_iterations - i)
+        for boundary in (cfg.apply_cyc_after, cfg.apply_cl_ref_after):
+            if i < boundary:
+                n = min(n, boundary - i)
+        for interval in (log_interval, cfg.checkpoint_interval,
+                         cfg.sampler_batch_iterations):
+            if interval > 0:
+                next_mult = ((i // interval) + 1) * interval
+                n = min(n, next_mult - i)
+        return max(n, 1)
 
     def train(self, log_interval: int = 100,
               progress: bool = True) -> TrainState:
@@ -193,35 +227,44 @@ class Trainer:
         if init_iter > 0:
             state = ckpt_lib.load_state(self.ckpt_folder, state, init_iter)
             logger.info("resumed from iter %d", init_iter)
-        start = max(init_iter, 0)
+        i = max(init_iter, 0)
 
-        running = {}
-        it = range(start, self.cfg.total_iterations)
+        bar = None
         if progress:
             try:
                 from tqdm import tqdm
-                it = tqdm(it)
+                bar = tqdm(total=self.cfg.total_iterations, initial=i)
             except ImportError:
                 pass
-        for i in it:
+
+        running, running_n = {}, 0
+        while i < self.cfg.total_iterations:
+            n = self._next_chunk(i, log_interval)
             key, sub = jax.random.split(key)
-            state, metrics = self._step_fn(i)(state, self.data, sub)
+            state, metrics = self._step_fn(i, n)(state, self.data, sub)
             for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + v
+                running[k] = running.get(k, 0.0) + v * n
+            running_n += n
+            i += n
+            if bar is not None:
+                bar.update(n)
             if i % log_interval == 0:
                 logger.info("iter %d: %s", i, {
-                    k: float(v) / log_interval for k, v in running.items()})
-                running = {}
-            if i == self.cfg.total_iterations - 1 or (
-                    i % self.cfg.checkpoint_interval == 0 and i > 0):
+                    k: float(v) / running_n for k, v in running.items()})
+                running, running_n = {}, 0
+            if i == self.cfg.total_iterations or (
+                    i % self.cfg.checkpoint_interval == 0):
                 ckpt_lib.save_state(self.ckpt_folder, state, i)
             # rotate the HBM trajectory window (reference load_next_batch,
             # dino_tracker.py:444-446)
-            if (self.bank_rotator is not None and i > 0
-                    and i % self.cfg.sampler_batch_iterations == 0):
+            if (self.bank_rotator is not None
+                    and i % self.cfg.sampler_batch_iterations == 0
+                    and i < self.cfg.total_iterations):
                 fg_bank, bg_bank = self.bank_rotator.advance()
                 self.data = self.data._replace(fg_bank=fg_bank,
                                                bg_bank=bg_bank)
+        if bar is not None:
+            bar.close()
         ckpt_lib.save_state(self.ckpt_folder, state,
                             self.cfg.total_iterations)
         return state

@@ -104,3 +104,47 @@ def test_parity_with_reference_implementation():
         for k in ref:
             np.testing.assert_allclose(ours[k], ref[k], atol=1e-6,
                                        err_msg=f"{mode}/{k}")
+
+
+def test_per_video_assembly_roundtrip(tmp_path):
+    """compute_tapvid_metrics_for_video: saved .npy predictions + benchmark
+    dict -> perfect predictions score 1.0 after the 256× rescale."""
+    import os
+    h, w, t, n = 120, 160, 5, 3
+    gt = RNG.random((n, t, 2)).astype(np.float32) * [w - 1, h - 1]
+    occ = np.zeros((n, t), bool)
+    qp = [[float(gt[i, 0, 0]), float(gt[i, 0, 1])] for i in range(n)]
+    benchmark = {"videos": [{"video_idx": 0, "h": h, "w": w,
+                             "query_points": {0: qp},
+                             "target_points": {0: gt},
+                             "occluded": {0: occ}}]}
+    # predictions at a different (model) resolution: scale gt accordingly
+    pw, ph = 80, 60
+    pred = gt * np.asarray([pw / w, ph / h], np.float32)
+    tdir = tmp_path / "trajectories"; tdir.mkdir()
+    odir = tmp_path / "occlusions"; odir.mkdir()
+    np.save(tdir / "trajectories_0.npy", pred)
+    np.save(odir / "occlusion_preds_0.npy", occ)
+    m = M.compute_tapvid_metrics_for_video(str(tdir), str(odir), benchmark, 0,
+                                           pred_video_sizes=[pw, ph])
+    assert abs(m["average_jaccard"] - 1.0) < 1e-6
+    assert abs(m["occlusion_accuracy"] - 1.0) < 1e-6
+
+
+def test_badja_metrics(tmp_path):
+    h, w, t, n = 100, 100, 4, 2
+    segs = np.zeros((t, h, w), np.float32)
+    segs[:, 20:80, 20:80] = 1.0  # area 3600 -> thr = 12
+    gt = np.full((n, t, 2), 50.0, np.float32)
+    occ = np.zeros((n, t))
+    pred = gt.copy()
+    pred[0] += 5.0   # within seg thr (12), outside 3px
+    pred[1] += 1.0   # within both
+    tdir = tmp_path / "traj"; tdir.mkdir()
+    np.save(tdir / "trajectories_0.npy", pred)
+    benchmark = {"videos": [{"video_idx": 0, "h": h, "w": w,
+                             "target_points": {0: gt}, "occluded": {0: occ},
+                             "segmentations": segs}]}
+    m = M.compute_badja_metrics_for_video(str(tdir), benchmark, 0)
+    assert abs(m["acc_seg"] - 100.0) < 1e-6
+    assert abs(m["acc_3px"] - 50.0) < 1e-6
