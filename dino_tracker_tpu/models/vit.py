@@ -278,3 +278,28 @@ def keys_self_similarity(params, frames_nchw, cfg: ViTConfig, stride: int,
     normed = keys / jnp.clip(norm, min=1e-8)
     return jnp.einsum("bsd,btd->bst", normed, normed,
                       preferred_element_type=jnp.float32)
+
+
+def attention_maps(params, frames_nchw, cfg: ViTConfig, stride: int,
+                   layer: int):
+    """Post-softmax attention maps of one block: B×H×S×S (reference
+    extractor.py:118-122,160-166 captures attn via hooks). Materializes the
+    full S×S map — use at coarse strides only."""
+    x, grid_hw = patch_embed(params, frames_nchw, stride)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + interpolate_pos_embed(params, grid_hw, cfg)
+    for i in range(layer):
+        x, _ = vit_block(params["blocks"][i], x, cfg, attn_impl="xla")
+    block = params["blocks"][layer]
+    y = layer_norm(x, block["norm1"], cfg.ln_eps)
+    qkv = y @ block["attn"]["qkv"]["w"] + block["attn"]["qkv"]["b"]
+    q, k, _ = jnp.split(qkv, 3, axis=-1)
+    s_len, d = x.shape[1], cfg.embed_dim
+    hd = d // cfg.num_heads
+    qh = jnp.transpose(q.reshape(b, s_len, cfg.num_heads, hd), (0, 2, 1, 3))
+    kh = jnp.transpose(k.reshape(b, s_len, cfg.num_heads, hd), (0, 2, 1, 3))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    return jax.nn.softmax(logits, axis=-1)

@@ -16,6 +16,16 @@ def trajectory_start_indices(trajectories_nt2: np.ndarray) -> np.ndarray:
     return np.argmax(valid, axis=1)
 
 
+def generate_start_end(trajectories_nt2: np.ndarray) -> np.ndarray:
+    """(first, last) valid timestep per trajectory — N×2 (reference
+    split_trajectories_to_fg_bg.py:9-35 / data/dataset.py:134-160)."""
+    valid = ~np.isnan(trajectories_nt2).any(axis=-1)
+    t = valid.shape[1]
+    first = np.argmax(valid, axis=1)
+    last = t - 1 - np.argmax(valid[:, ::-1], axis=1)
+    return np.stack([first, last], axis=1)
+
+
 def split_fg_bg(trajectories_nt2: np.ndarray, masks_thw: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (fg_trajectories, bg_trajectories)."""

@@ -135,6 +135,21 @@ def get_grid_query_points(res_h_w: Tuple[int, int], segm_mask: Optional[np.ndarr
     return np.concatenate([pts, t], axis=1)
 
 
+def resize_flow(flow_n2hw: np.ndarray, newh: int, neww: int) -> np.ndarray:
+    """Bilinear-resize a flow field and rescale its vectors (reference
+    data/data_utils.py:158-164, cv2.INTER_LINEAR)."""
+    import cv2
+    out = []
+    oldh, oldw = flow_n2hw.shape[-2:]
+    for f in flow_n2hw:
+        r = cv2.resize(np.transpose(f, (1, 2, 0)), (neww, newh),
+                       interpolation=cv2.INTER_LINEAR)
+        r[..., 0] *= neww / oldw
+        r[..., 1] *= newh / oldh
+        out.append(np.transpose(r, (2, 0, 1)))
+    return np.stack(out)
+
+
 def save_npz(path: str, **arrays):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **arrays)
