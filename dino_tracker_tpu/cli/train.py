@@ -14,7 +14,9 @@ def main():
 
     from ..config import TrainConfig
     from ..runtime import DINOTrackerRuntime
+    from ..utils.seeding import fix_random_seeds
 
+    fix_random_seeds(args.seed)
     cfg = TrainConfig.from_yaml(args.config)
     DINOTrackerRuntime(args.data_path, cfg, seed=args.seed).train()
 

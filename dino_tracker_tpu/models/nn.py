@@ -108,18 +108,23 @@ def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4):
     Matches antialiased_cnns.BlurPool (used by the reference DeltaDINO,
     models/networks/delta_dino.py:44): pad (left, right, top, bottom) =
     ((f-1)//2, ceil((f-1)/2)) reflect, depthwise conv stride ``stride``.
+
+    Implemented as a per-channel grouped conv; depthwise convs run on the
+    TPU's VPU, which is fine here (the op is bandwidth-bound and tiny next
+    to the surrounding dense convs).
     """
     c = x_nhwc.shape[-1]
     pl = (filt_size - 1) // 2
     pr = math.ceil((filt_size - 1) / 2)
     x = jnp.pad(x_nhwc, ((0, 0), (pl, pr), (pl, pr), (0, 0)), mode="reflect")
-    filt = jnp.asarray(blurpool_filter(filt_size))
+    filt = jnp.asarray(blurpool_filter(filt_size), dtype=x.dtype)
     w = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (depthwise)
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
 
 

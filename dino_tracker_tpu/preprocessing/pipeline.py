@@ -30,6 +30,7 @@ from ..config import PreprocessConfig, add_config_paths
 from ..models.vit import ViTConfig, extract_feature_video
 from ..structures import save_bb_data
 from ..utils import video_io
+from ..utils.profiling import stage_timer
 from . import best_buddies as bb_lib
 from . import fg_mask as fg_lib
 from . import split_fg_bg as split_lib
@@ -139,23 +140,32 @@ class PreprocessingPipeline:
 
     # -- full run ---------------------------------------------------------
     def run(self):
+        from ..utils.profiling import dump_stage_report
         # 1. trajectories with direct-flow filter (training supervision)
-        trajs = self.extract_trajectories(
-            self.cfg.filter_using_direct_flow, self.paths["trajectories_file"])
+        with stage_timer("preprocess/trajectories"):
+            trajs = self.extract_trajectories(
+                self.cfg.filter_using_direct_flow,
+                self.paths["trajectories_file"])
         # 2. DINO features
-        feats = self.extract_dino_features(
-            self.cfg.dino_layer, self.paths["dino_embed_video_path"])
+        with stage_timer("preprocess/dino_features"):
+            feats = self.extract_dino_features(
+                self.cfg.dino_layer, self.paths["dino_embed_video_path"])
         # 3. FG masks (skip if GT masks provided — main_preprocessing.py:38-51)
         if not os.path.exists(self.paths["masks_path"]):
-            mask_feats = self.extract_dino_features(
-                self.cfg.mask_dino_layer,
-                self.paths["mask_dino_embed_video_path"])
-            self.create_fg_masks(mask_feats)
+            with stage_timer("preprocess/fg_masks"):
+                mask_feats = self.extract_dino_features(
+                    self.cfg.mask_dino_layer,
+                    self.paths["mask_dino_embed_video_path"])
+                self.create_fg_masks(mask_feats)
         else:
             logger.info("masks exist, skipping fg-mask stage")
         # 4. fg/bg split
-        self.split_trajectories(trajs)
+        with stage_timer("preprocess/split_fg_bg"):
+            self.split_trajectories(trajs)
         # 5. best buddies (uses trajectories WITHOUT the direct-flow filter)
-        unfiltered = self.extract_trajectories(
-            False, self.paths["unfiltered_trajectories_file"])
-        self.compute_best_buddies(feats, unfiltered)
+        with stage_timer("preprocess/unfiltered_trajectories"):
+            unfiltered = self.extract_trajectories(
+                False, self.paths["unfiltered_trajectories_file"])
+        with stage_timer("preprocess/best_buddies"):
+            self.compute_best_buddies(feats, unfiltered)
+        logger.info("stage timing report:\n%s", dump_stage_report())
