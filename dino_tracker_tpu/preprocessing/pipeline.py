@@ -92,6 +92,8 @@ class PreprocessingPipeline:
         return trajs
 
     def extract_dino_features(self, layer: int, out_path: str):
+        """Returns the DEVICE feature array (downstream stages reuse it
+        without a host round trip); the artifact is saved from one fetch."""
         assert self.vit_params is not None, "DINO weights required"
         feats = extract_feature_video(
             self.vit_params, jnp.asarray(self.video), self.vit_cfg,
@@ -99,7 +101,7 @@ class PreprocessingPipeline:
             facet=self.cfg.dino_facet)
         video_io.save_npz(out_path, features=np.asarray(feats))
         logger.info("saved %s: %s", out_path, feats.shape)
-        return np.asarray(feats)
+        return feats
 
     def create_fg_masks(self, mask_features: np.ndarray):
         masks = fg_lib.compute_fg_masks(
@@ -119,16 +121,16 @@ class PreprocessingPipeline:
         logger.info("split: %d fg / %d bg trajectories", len(fg), len(bg))
         return fg, bg
 
-    def compute_best_buddies(self, features: np.ndarray,
-                             unfiltered_trajs: np.ndarray):
+    def compute_best_buddies(self, features, unfiltered_trajs: np.ndarray):
         h, w = self.cfg.video_resh, self.cfg.video_resw
         stride = self.cfg.dino_stride
+        features = jnp.asarray(features)  # no-op when already on device
         bb = bb_lib.extract_best_buddies(
-            jnp.asarray(features), h, w, stride,
+            features, h, w, stride,
             cap=self.cfg.bb_max_pairs_per_frame_pair, progress=self.progress)
         bb = bb_lib.of_filter_best_buddies(bb, unfiltered_trajs, h, w, stride)
         bb = bb_lib.compute_bb_ambiguity(
-            bb, jnp.asarray(features), h, w, stride,
+            bb, features, h, w, stride,
             box_size=float(self.cfg.dino_bb_box_size),
             iou_thresh=self.cfg.dino_bb_iou_threshold,
             topk=self.cfg.dino_bb_nms_topk, progress=self.progress)
@@ -156,7 +158,7 @@ class PreprocessingPipeline:
                 mask_feats = self.extract_dino_features(
                     self.cfg.mask_dino_layer,
                     self.paths["mask_dino_embed_video_path"])
-                self.create_fg_masks(mask_feats)
+                self.create_fg_masks(np.asarray(mask_feats))
         else:
             logger.info("masks exist, skipping fg-mask stage")
         # 4. fg/bg split
