@@ -151,6 +151,8 @@ class PreprocessConfig:
     # TPU-specific knobs (ours)
     bb_max_pairs_per_frame_pair: int = 1024
     max_frames: int = 400  # cap on feature extraction length
+    compute_dtype: str = "bfloat16"  # ViT extraction matmul dtype
+    extract_frames_per_batch: int = 4
 
     @classmethod
     def from_yaml(cls, path: str) -> "PreprocessConfig":

@@ -99,20 +99,26 @@ def init_vit(key, cfg: ViTConfig, dtype=jnp.float32):
 
 
 def layer_norm(x, p, eps: float):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # statistics in f32 regardless of the compute dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def patch_embed(params, frames_nchw, stride: int):
     """Overlapping-patch conv: N×3×H×W -> N×(h0·w0)×D, h0 = 1+(H-patch)//stride
     (the stride-override trick, reference extractor.py:41-55)."""
     x = jnp.transpose(frames_nchw, (0, 2, 3, 1))  # NHWC
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     out = jax.lax.conv_general_dilated(
-        x, params["patch_embed"]["w"], window_strides=(stride, stride),
+        x, params["patch_embed"]["w"].astype(x.dtype),
+        window_strides=(stride, stride),
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    out = out + params["patch_embed"]["b"]
+        preferred_element_type=preferred)
+    out = out + params["patch_embed"]["b"].astype(out.dtype)
     n, h0, w0, d = out.shape
     return out.reshape(n, h0 * w0, d), (h0, w0)
 
@@ -243,6 +249,11 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
     def run(p, frames):
         # params enter as an argument — closing over them would bake 1.2 GB
         # of ViT-L weights into the program as constants
+        if compute_dtype != jnp.float32:
+            # genuine mixed precision: weights in the compute dtype too
+            # (mixed-dtype matmuls would silently promote back to f32);
+            # layer_norm keeps its statistics in f32 internally
+            p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
         x = ((frames - mean) / std).astype(compute_dtype)
         outs, grid_hw = forward_features(p, x, cfg, stride, [layer],
                                          facet, attn_impl)

@@ -98,7 +98,9 @@ class PreprocessingPipeline:
         feats = extract_feature_video(
             self.vit_params, jnp.asarray(self.video), self.vit_cfg,
             stride=self.cfg.dino_stride, layer=layer,
-            facet=self.cfg.dino_facet)
+            facet=self.cfg.dino_facet,
+            frames_per_batch=self.cfg.extract_frames_per_batch,
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype))
         video_io.save_npz(out_path, features=np.asarray(feats))
         logger.info("saved %s: %s", out_path, feats.shape)
         return feats

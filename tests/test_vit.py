@@ -238,3 +238,19 @@ def test_extract_feature_video_shape_and_batching():
                                         layer=1, frames_per_batch=5,
                                         attn_impl="xla")
     np.testing.assert_allclose(np.asarray(feats), np.asarray(feats1), atol=1e-5)
+
+
+def test_extraction_bf16_close_to_f32():
+    """bf16 extraction features stay directionally faithful (cos ≥ 0.995)."""
+    tmodel = TorchDinoV2(SMALL, 7)
+    params = convert_dinov2_state_dict(tmodel.state_dict_dinov2(), SMALL)
+    video = jnp.asarray(RNG.random((2, 3, 42, 56), dtype=np.float32))
+    f32 = np.asarray(jvit.extract_feature_video(
+        params, video, SMALL, stride=7, layer=2, attn_impl="xla"))
+    bf16 = np.asarray(jvit.extract_feature_video(
+        params, video, SMALL, stride=7, layer=2, attn_impl="xla",
+        compute_dtype=jnp.bfloat16))
+    a = f32.reshape(2, 32, -1)
+    b = bf16.reshape(2, 32, -1)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.995, cos.min()
