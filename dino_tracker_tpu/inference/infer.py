@@ -47,8 +47,16 @@ class ModelInference:
     cosine_similarity_threshold: float = 0.5
     chunk: int = 4096
 
+    # cap on the B×T×h'w' f32 correlation intermediate per prediction chunk
+    corr_budget_bytes: int = 2 << 30
+
     def __post_init__(self):
         t = self.refined_features.shape[0]
+        # the prediction kernel materializes chunk×T×(h'·w') f32 correlations
+        # (tracker.get_corr_maps) — scale the chunk so long videos fit in HBM
+        hw = self.refined_features.shape[2] * self.refined_features.shape[3]
+        max_chunk = max(256, int(self.corr_budget_bytes / (t * hw * 4)))
+        self.chunk = min(self.chunk, max_chunk)
         frames_set = jnp.arange(t, dtype=jnp.int32)
         scale = jnp.asarray([self.cfg.video_w - 1, self.cfg.video_h - 1],
                             jnp.float32)

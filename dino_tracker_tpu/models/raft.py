@@ -174,8 +174,12 @@ def corr_lookup(pyramid, coords_b2hw):
     coords = jnp.transpose(coords_b2hw, (0, 2, 3, 1))  # B×h×w×2
     r = CORR_RADIUS
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # 81×2
+    # princeton-vl/torchvision convention: delta = stack(meshgrid(dy, dx))
+    # with the FIRST meshgrid output used as the x offset — window channel
+    # k = i*9+j samples (x + d[i], y + d[j]); trained motion-encoder weights
+    # expect exactly this (transposed-looking) layout
+    di, dj = jnp.meshgrid(d, d, indexing="ij")
+    delta = jnp.stack([di, dj], axis=-1).reshape(-1, 2)  # 81×2 (x_off, y_off)
 
     out = []
     for lvl, vol in enumerate(pyramid):

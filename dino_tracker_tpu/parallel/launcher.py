@@ -66,8 +66,23 @@ class BenchmarkLauncher:
                       if not d.startswith(".")
                       and os.path.isdir(os.path.join(self.dataset_root, d)))
 
+    @staticmethod
+    def resolve_video_index(video_id: str) -> int:
+        """TAP-Vid benchmark pickles key videos by integer index; resolve it
+        up front so a bad directory name fails BEFORE preprocessing/training
+        burn chip time."""
+        try:
+            return int(video_id)
+        except ValueError:
+            raise ValueError(
+                f"video directory {video_id!r} is not an integer benchmark "
+                "index; rename it to its TAP-Vid video_idx (or run stages "
+                "without 'inference')")
+
     def run_video(self, video_id: str):
         data_path = os.path.join(self.dataset_root, video_id)
+        if "inference" in self.stages:
+            video_index = self.resolve_video_index(video_id)
         from ..config import PreprocessConfig, TrainConfig
         from ..runtime import DINOTrackerRuntime
 
@@ -93,7 +108,7 @@ class BenchmarkLauncher:
         if "train" in self.stages:
             rt.train()
         if "inference" in self.stages:
-            rt.infer_benchmark(self.benchmark_pickle_path, int(video_id))
+            rt.infer_benchmark(self.benchmark_pickle_path, video_index)
 
     def run(self, claim_dir: Optional[str] = None):
         """Work through the queue; with ``claim_dir`` multiple hosts share it."""

@@ -34,12 +34,20 @@ from ..structures import BBData
 from ..utils.coords import bb_meshgrid
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _mutual_nn_pair(source_flat_nc, target_flat_mc, grid_n2, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "use_of_filter"))
+def _mutual_nn_pair(source_flat_nc, target_flat_mc, grid_n2, cap: int,
+                    use_of_filter: bool = False, closest_s=None,
+                    closest_t=None, traj_invalid=None, s_frame=None,
+                    t_frame=None):
     """One unordered pair: mutual-NN matches padded to ``cap``.
 
     Returns (src_idx, tgt_idx, cos, valid) for the s→t direction; the t→s
-    direction is its mirror.
+    direction is its mirror. With ``use_of_filter`` the optical-flow-gap
+    filter (keep only buddies whose nearest trajectories are invalid at the
+    other frame — reference of_filter_dino_best_buddies.py:97) is applied
+    BEFORE the capacity cap, so capping never discards pairs the filter
+    would have kept. The filter condition is symmetric, so it is also valid
+    for the mirrored direction.
     """
     sn = source_flat_nc / jnp.clip(
         jnp.linalg.norm(source_flat_nc, axis=1, keepdims=True), min=1e-8)
@@ -52,6 +60,13 @@ def _mutual_nn_pair(source_flat_nc, target_flat_mc, grid_n2, cap: int):
     rng = jnp.arange(n)
     is_bb = rng == tgt_max[src_max]
     cos = aff[rng, src_max]
+    if use_of_filter:
+        # token index == grid index: nearest trajectory of the source token
+        # at frame s must be invalid at frame t, and vice versa
+        src_traj = closest_s[rng]
+        tgt_traj = closest_t[src_max]
+        keep = traj_invalid[src_traj, t_frame] & traj_invalid[tgt_traj, s_frame]
+        is_bb = is_bb & keep
     # keep the strongest-cosine buddies when count exceeds capacity
     score = jnp.where(is_bb, cos, -jnp.inf)
     top_vals, top_idx = jax.lax.top_k(score, cap)
@@ -65,14 +80,27 @@ def _mutual_nn_pair(source_flat_nc, target_flat_mc, grid_n2, cap: int):
 def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
                          patch_size: int = 14, cap: int = 1024,
                          compute_dtype=jnp.float32,
-                         progress: bool = False) -> BBData:
+                         progress: bool = False,
+                         unfiltered_trajectories: Optional[np.ndarray] = None
+                         ) -> BBData:
     """Mutual-NN sweep over all frame pairs -> BBData (reference
-    extract_dino_best_buddies.py:13-54)."""
+    extract_dino_best_buddies.py:13-54).
+
+    With ``unfiltered_trajectories`` the optical-flow-gap filter runs fused
+    inside the sweep, before the capacity cap.
+    """
     t, c = features_tchw.shape[:2]
     grid = bb_meshgrid(h, w, stride, patch_size)  # n×2
     flat = jnp.asarray(features_tchw).reshape(t, c, -1).transpose(0, 2, 1)
     flat = flat.astype(compute_dtype)
     n = flat.shape[1]
+
+    use_filter = unfiltered_trajectories is not None
+    closest = invalid = None
+    if use_filter:
+        closest = jnp.asarray(closest_trajectory_grids(
+            unfiltered_trajectories, grid))  # T×n
+        invalid = jnp.asarray(np.isnan(unfiltered_trajectories).any(axis=-1))
 
     src_c = np.zeros((t, t, cap, 2), np.float32)
     tgt_c = np.zeros((t, t, cap, 2), np.float32)
@@ -85,7 +113,14 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
         from tqdm import tqdm
         pairs = tqdm(pairs, desc="best buddies")
     for s, u in pairs:
-        si, ti, cs, va = _mutual_nn_pair(flat[s], flat[u], grid, cap)
+        if use_filter:
+            si, ti, cs, va = _mutual_nn_pair(
+                flat[s], flat[u], grid, cap, use_of_filter=True,
+                closest_s=closest[s], closest_t=closest[u],
+                traj_invalid=invalid, s_frame=jnp.asarray(s),
+                t_frame=jnp.asarray(u))
+        else:
+            si, ti, cs, va = _mutual_nn_pair(flat[s], flat[u], grid, cap)
         si, ti, cs, va = map(np.asarray, (si, ti, cs, va))
         src_c[s, u] = grid_np[si]
         tgt_c[s, u] = grid_np[ti]

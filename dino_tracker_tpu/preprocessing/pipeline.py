@@ -91,14 +91,16 @@ class PreprocessingPipeline:
         logger.info("saved %s: %s", out_path, trajs.shape)
         return trajs
 
-    def extract_dino_features(self, layer: int, out_path: str):
+    def extract_dino_features(self, layer: int, out_path: str,
+                              facet: str = None, stride: int = None):
         """Returns the DEVICE feature array (downstream stages reuse it
         without a host round trip); the artifact is saved from one fetch."""
         assert self.vit_params is not None, "DINO weights required"
         feats = extract_feature_video(
             self.vit_params, jnp.asarray(self.video), self.vit_cfg,
-            stride=self.cfg.dino_stride, layer=layer,
-            facet=self.cfg.dino_facet,
+            stride=self.cfg.dino_stride if stride is None else stride,
+            layer=layer,
+            facet=self.cfg.dino_facet if facet is None else facet,
             frames_per_batch=self.cfg.extract_frames_per_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype))
         video_io.save_npz(out_path, features=np.asarray(feats))
@@ -127,10 +129,11 @@ class PreprocessingPipeline:
         h, w = self.cfg.video_resh, self.cfg.video_resw
         stride = self.cfg.dino_stride
         features = jnp.asarray(features)  # no-op when already on device
+        # OF-gap filter runs fused inside the sweep, BEFORE the capacity cap
         bb = bb_lib.extract_best_buddies(
             features, h, w, stride,
-            cap=self.cfg.bb_max_pairs_per_frame_pair, progress=self.progress)
-        bb = bb_lib.of_filter_best_buddies(bb, unfiltered_trajs, h, w, stride)
+            cap=self.cfg.bb_max_pairs_per_frame_pair, progress=self.progress,
+            unfiltered_trajectories=unfiltered_trajs)
         bb = bb_lib.compute_bb_ambiguity(
             bb, features, h, w, stride,
             box_size=float(self.cfg.dino_bb_box_size),
@@ -157,9 +160,16 @@ class PreprocessingPipeline:
         # 3. FG masks (skip if GT masks provided — main_preprocessing.py:38-51)
         if not os.path.exists(self.paths["masks_path"]):
             with stage_timer("preprocess/fg_masks"):
+                if self.cfg.mask_dino_model_name != self.cfg.dino_model_name:
+                    logger.warning(
+                        "mask_dino_model_name %s != dino_model_name %s — the "
+                        "loaded DINO weights are used for both",
+                        self.cfg.mask_dino_model_name, self.cfg.dino_model_name)
                 mask_feats = self.extract_dino_features(
                     self.cfg.mask_dino_layer,
-                    self.paths["mask_dino_embed_video_path"])
+                    self.paths["mask_dino_embed_video_path"],
+                    facet=self.cfg.mask_dino_facet,
+                    stride=self.cfg.mask_dino_stride)
                 self.create_fg_masks(np.asarray(mask_feats))
         else:
             logger.info("masks exist, skipping fg-mask stage")

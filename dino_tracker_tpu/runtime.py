@@ -51,13 +51,20 @@ class DINOTrackerRuntime:
     def load_video_data(self) -> train_lib.VideoData:
         if self._data is not None:
             return self._data
+        dino = video_io.load_npz(self.paths["dino_embed_video_path"])["features"]
+        # preprocessing may have capped the video at max_frames; every
+        # artifact shares the feature video's length — load to match so
+        # clamped gathers can never silently alias frames
+        t_feat = dino.shape[0]
         video = video_io.load_video(
             self.paths["video_folder"],
-            resize=(self.cfg.video_resh, self.cfg.video_resw))
-        dino = video_io.load_npz(self.paths["dino_embed_video_path"])["features"]
+            resize=(self.cfg.video_resh, self.cfg.video_resw),
+            num_frames=t_feat)
+        assert video.shape[0] == t_feat, (
+            f"video has {video.shape[0]} frames but features cover {t_feat}")
         fg_masks = video_io.load_masks(self.paths["masks_path"],
                                        h_resize=self.cfg.video_resh,
-                                       w_resize=self.cfg.video_resw)
+                                       w_resize=self.cfg.video_resw)[:t_feat]
         bb = load_bb_data(os.path.join(self.paths["dino_bb_dir"],
                                        "dino_best_buddies_filtered.npz"))
         fg = video_io.load_npz(self.paths["fg_trajectories_file"])["trajectories"]

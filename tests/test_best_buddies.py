@@ -214,3 +214,40 @@ def test_split_fg_bg():
     fg, bg = split_fg_bg(trajs, masks)
     assert fg.shape[0] == 3 and bg.shape[0] == 3
     np.testing.assert_allclose(fg[0, 2], [20, 10])
+
+
+def test_fused_of_filter_before_cap():
+    """With a tiny cap, a high-cosine flow-covered buddy must NOT evict the
+    low-cosine flow-gap buddy the filter is meant to keep."""
+    h, w, stride = 42, 56, 7
+    t = 2
+    grid = np.asarray(bb_meshgrid(h, w, stride))
+    n, c = grid.shape[0], 8
+    # identity features (every token its own buddy, cos 1) with one token
+    # slightly perturbed so its cosine is lower
+    pos = RNG.standard_normal((n, c)).astype(np.float32) * 3
+    feats = np.stack([pos, pos.copy()])
+    feats[1, 5] += RNG.standard_normal(c).astype(np.float32) * 0.4  # lower cos
+    feats = feats.transpose(0, 2, 1).reshape(t, c, 5, 7)
+
+    # trajectories covering EVERY grid point, valid at both frames — except
+    # at token 5: one trajectory dies after frame 0 and a separate one starts
+    # at frame 1 (the reference's flow-gap condition needs a dying trajectory
+    # on the source side and a late starter on the target side)
+    trajs = np.tile(grid[:, None, :], (1, t, 1)).astype(np.float32)
+    trajs[5, 1] = np.nan                       # dies after frame 0
+    late = np.full((1, t, 2), np.nan, np.float32)
+    late[0, 1] = grid[5]                       # starts at frame 1
+    trajs = np.concatenate([trajs, late], axis=0)
+
+    bb = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride, cap=2,
+                                     unfiltered_trajectories=trajs)
+    v = np.asarray(bb.valid)[0, 1]
+    srcs = np.asarray(bb.source_coords)[0, 1]
+    # only the flow-gap token survives, despite 34 higher-cosine buddies
+    assert v.sum() == 1
+    np.testing.assert_allclose(srcs[v][0], grid[5])
+
+    # sanity: without the filter the cap keeps the 2 strongest instead
+    bb2 = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride, cap=2)
+    assert np.asarray(bb2.valid)[0, 1].sum() == 2

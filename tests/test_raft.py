@@ -39,15 +39,26 @@ def test_corr_pyramid_and_lookup():
     np.testing.assert_allclose(np.asarray(pyramid[1]), ref_l1.numpy(),
                                atol=1e-4)
 
-    # lookup at the identity grid: center tap of level-0 window equals the
-    # self-correlation at that pixel
-    coords = raft._coords_grid(b, h, w)
-    out = raft.corr_lookup(pyramid, coords)  # b×h×w×324
+    # full window lookup vs the princeton-vl CorrBlock convention
+    # (delta = stack(meshgrid(dy, dx)) with the FIRST output as x offset)
+    coords_np = np.asarray(raft._coords_grid(b, h, w)) + 0.3  # off-grid
+    out = raft.corr_lookup(pyramid, raft._coords_grid(b, h, w) + 0.3)
     assert out.shape == (b, h, w, 324)
-    center = np.asarray(out)[0, :, :, 40]  # window index (4,4) of level 0
-    diag = ref_corr.reshape(h * w, h, w).numpy()[np.arange(h * w)].reshape(
-        h * w, h * w)[np.arange(h * w), np.arange(h * w)].reshape(h, w)
-    np.testing.assert_allclose(center, diag, atol=1e-4)
+
+    r = raft.CORR_RADIUS
+    dxy = torch.linspace(-r, r, 2 * r + 1)
+    delta = torch.stack(torch.meshgrid(dxy, dxy, indexing="ij"), dim=-1)
+    ref_vol = ref_corr.reshape(b * h * w, 1, h, w)
+    centroid = torch.from_numpy(coords_np).permute(0, 2, 3, 1).reshape(
+        b * h * w, 1, 1, 2)
+    coords_lvl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+    xg = 2 * coords_lvl[..., 0] / (w - 1) - 1
+    yg = 2 * coords_lvl[..., 1] / (h - 1) - 1
+    sampled = F.grid_sample(ref_vol, torch.stack([xg, yg], dim=-1),
+                            align_corners=True)
+    ref_l0 = sampled.view(b, h, w, -1)
+    np.testing.assert_allclose(np.asarray(out)[..., :81], ref_l0.numpy(),
+                               atol=1e-4)
 
 
 def test_convex_upsample_matches_torch_unfold():
