@@ -148,3 +148,40 @@ def test_train_step_bf16_compute_path():
     step32 = train_lib.make_train_step(CFG, tcfg, True, True)
     _, m32 = step32(state32, data, jax.random.PRNGKey(1))
     assert abs(float(metrics["loss_of"]) - float(m32["loss_of"])) < 5e-3
+
+
+def test_trainer_chunk_boundaries():
+    """_next_chunk never crosses a phase/log/ckpt boundary and always
+    advances."""
+    import dataclasses as dc
+    from dino_tracker_tpu.training.train import Trainer
+    cfg = TrainConfig(total_iterations=10000, steps_per_call=25,
+                      apply_cyc_after=5000, apply_cl_ref_after=5000,
+                      checkpoint_interval=2500, sampler_batch_iterations=1000)
+    t = Trainer.__new__(Trainer)
+    t.cfg = cfg
+    i = 0
+    seen_phase_cross = False
+    while i < cfg.total_iterations:
+        n = t._next_chunk(i, log_interval=100)
+        assert 1 <= n <= 25
+        # no chunk crosses the phase boundary
+        assert not (i < 5000 < i + n)
+        assert not (i < 2500 < i + n and (i // 2500) != ((i + n) // 2500) and (i + n) % 2500 != 0)
+        i += n
+    assert i == cfg.total_iterations
+
+    # awkward config: boundaries not multiples of steps_per_call
+    cfg2 = TrainConfig(total_iterations=103, steps_per_call=25,
+                       apply_cyc_after=37, apply_cl_ref_after=41,
+                       checkpoint_interval=50, sampler_batch_iterations=7)
+    t.cfg = cfg2
+    i, chunks = 0, []
+    while i < cfg2.total_iterations:
+        n = t._next_chunk(i, log_interval=10)
+        assert n >= 1
+        assert not (i < 37 < i + n)
+        assert not (i < 41 < i + n)
+        i += n
+        chunks.append(n)
+    assert i == cfg2.total_iterations
