@@ -268,27 +268,33 @@ def _coords_grid(b, h, w):
     return jnp.broadcast_to(grid, (b, 2, h, w))
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
-def raft_forward(params, image1_nchw, image2_nchw, num_iters: int = 24):
-    """Images in [0, 1], H/W divisible by 8 -> flow N×2×H×W (pixels).
+@jax.jit
+def raft_encode(params, images_nchw):
+    """Per-frame encoders, hoisted out of the pair loop.
 
-    Matches RAFT inference: inputs scaled to [-1, 1], zero-init flow at 1/8
-    resolution, ``num_iters`` GRU updates, convex upsampling of the final
-    flow only (the reference consumes predictions[-1]).
+    The reference recomputes fnet+cnet for every one of the O(T²) direct-flow
+    pairs (reference preprocessing/extract_trajectories.py:129-141); fnet and
+    cnet are pure per-frame functions, so we compute them once per frame
+    (O(T)) and only the correlation pyramid + GRU recurrence runs per pair.
+
+    images in [0, 1], N×3×H×W (H, W divisible by 8) ->
+    (fmap N×h8×w8×256, net N×h8×w8×128, inp N×h8×w8×128).
     """
-    x1 = jnp.transpose(image1_nchw * 2.0 - 1.0, (0, 2, 3, 1))
-    x2 = jnp.transpose(image2_nchw * 2.0 - 1.0, (0, 2, 3, 1))
-    b, h, w, _ = x1.shape
-    h8, w8 = h // 8, w // 8
-
-    fmap1 = _encoder(params["fnet"], x1, "instance")
-    fmap2 = _encoder(params["fnet"], x2, "instance")
-    pyramid = build_corr_pyramid(fmap1, fmap2)
-
-    cnet = _encoder(params["cnet"], x1, "batch")
+    x = jnp.transpose(images_nchw * 2.0 - 1.0, (0, 2, 3, 1))
+    fmap = _encoder(params["fnet"], x, "instance")
+    cnet = _encoder(params["cnet"], x, "batch")
     net = jnp.tanh(cnet[..., :HDIM])
     inp = jax.nn.relu(cnet[..., HDIM:])
+    return fmap, net, inp
 
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
+    """Pair-dependent half of RAFT given precomputed per-frame encodings
+    (raft_encode): correlation pyramid, ``num_iters`` GRU updates, convex
+    upsampling. Returns flow N×2×H×W in pixels."""
+    b, h8, w8, _ = fmap1.shape
+    pyramid = build_corr_pyramid(fmap1, fmap2)
     coords0 = _coords_grid(b, h8, w8)
     up = params["update"]
 
@@ -310,6 +316,19 @@ def raft_forward(params, image1_nchw, image2_nchw, num_iters: int = 24):
                   up["mask"]["conv2"]) * 0.25
     flow_up = convex_upsample(flow_coarse, mask)
     return jnp.transpose(flow_up, (0, 3, 1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def raft_forward(params, image1_nchw, image2_nchw, num_iters: int = 24):
+    """Images in [0, 1], H/W divisible by 8 -> flow N×2×H×W (pixels).
+
+    Matches RAFT inference: inputs scaled to [-1, 1], zero-init flow at 1/8
+    resolution, ``num_iters`` GRU updates, convex upsampling of the final
+    flow only (the reference consumes predictions[-1]).
+    """
+    fmap1, net, inp = raft_encode(params, image1_nchw)
+    fmap2, _, _ = raft_encode(params, image2_nchw)
+    return raft_decode(params, fmap1, fmap2, net, inp, num_iters=num_iters)
 
 
 class InputPadder:

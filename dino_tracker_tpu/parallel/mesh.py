@@ -47,3 +47,16 @@ def constrain_batch(x, mesh: Optional[Mesh]):
         return x
     spec = P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
+    """Pad ``axis`` up to a multiple by repeating the last slice — keeps
+    batch shapes static (no recompiles) and divisible by the mesh size."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    last = np.take(x, [-1], axis=axis)
+    reps = [1] * x.ndim
+    reps[axis] = rem
+    return np.concatenate([x, np.tile(last, reps)], axis=axis)

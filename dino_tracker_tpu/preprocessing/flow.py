@@ -2,8 +2,13 @@
 
 Behavior spec: reference preprocessing/extract_trajectories.py:29-160
 (``get_flows_with_masks`` / ``compute_direct_flows_for_start_frame``).
-Pairs batch on the leading axis (shardable across chips for the O(T²) direct
-sweep); each batch is one jitted RAFT program.
+
+TPU design: the per-frame encoders (fnet/cnet) run ONCE per frame
+(models/raft.py ``raft_encode``) and stay resident on device; the O(T²)
+direct-flow sweep then only runs the pair-dependent correlation pyramid +
+GRU recurrence per pair (``raft_decode``) — the reference recomputes the
+full network per pair (extract_trajectories.py:129-141). Pair batches ride
+the leading axis and, when a mesh is supplied, shard across chips.
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import raft
+from ..parallel.mesh import constrain_batch, pad_to_multiple
+from ..utils.retry import retry_transient
 from ..utils.sampling import bilinear_sampler_pixel
 
 
@@ -27,31 +34,86 @@ class RaftFlowEngine:
     video_tchw: np.ndarray  # [0,1] float32 at inference resolution
     num_iters: int = 24
     pair_batch: int = 8
+    encode_batch: int = 8
+    mesh: Optional[object] = None  # jax.sharding.Mesh: shard pair/frame axes
 
     def __post_init__(self):
         self.t, _, self.h, self.w = self.video_tchw.shape
         self.padder = raft.InputPadder(self.video_tchw.shape)
         self._padded = np.asarray(self.padder.pad(jnp.asarray(self.video_tchw)))
+        self._enc = None  # lazy (fmap, net, inp), device-resident, T leading
+        self._decode_jit = None  # cached jitted gather+decode
+
+    def _encodings(self):
+        """Per-frame encoder outputs for ALL frames, computed once (O(T))."""
+        if self._enc is not None:
+            return self._enc
+        mesh = self.mesh
+        n_dev = mesh.devices.size if mesh is not None else 1
+
+        @jax.jit
+        def encode(params, frames):
+            frames = constrain_batch(frames, mesh)
+            return jax.tree.map(lambda x: constrain_batch(x, mesh),
+                                raft.raft_encode(params, frames))
+
+        def run(frames):
+            if mesh is not None:
+                with mesh:
+                    return encode(self.params, jnp.asarray(frames))
+            return encode(self.params, jnp.asarray(frames))
+
+        chunks = []
+        bsz = max(self.encode_batch, n_dev)
+        bsz -= bsz % n_dev
+        for s in range(0, self.t, bsz):
+            e = min(s + bsz, self.t)
+            frames = self._padded[s:e]
+            if e - s < bsz:  # pad partial batches to avoid recompiles
+                frames = np.concatenate(
+                    [frames, frames[-1:].repeat(bsz - (e - s), 0)])
+            out = retry_transient(lambda: run(frames), what="raft encode batch")
+            chunks.append(jax.tree.map(lambda x: x[: e - s], out))
+        self._enc = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *chunks)
+        return self._enc
+
+    def _decode_batch(self, fmaps, nets, inps, idx_a, idx_b):
+        """One jitted gather+decode over a fixed-size pair batch; the pair
+        axis carries a sharding constraint so a mesh splits it over chips."""
+        mesh = self.mesh
+        if self._decode_jit is None:
+            def fn(params, fmaps, nets, inps, ia, ib):
+                f1 = constrain_batch(jnp.take(fmaps, ia, axis=0), mesh)
+                f2 = constrain_batch(jnp.take(fmaps, ib, axis=0), mesh)
+                net = constrain_batch(jnp.take(nets, ia, axis=0), mesh)
+                inp = constrain_batch(jnp.take(inps, ia, axis=0), mesh)
+                flow = raft.raft_decode(params, f1, f2, net, inp,
+                                        num_iters=self.num_iters)
+                return constrain_batch(flow, mesh)
+
+            self._decode_jit = jax.jit(fn)
+        if mesh is not None:
+            with mesh:
+                return self._decode_jit(self.params, fmaps, nets, inps,
+                                        idx_a, idx_b)
+        return self._decode_jit(self.params, fmaps, nets, inps, idx_a, idx_b)
 
     def _run_pairs(self, idx_a: np.ndarray, idx_b: np.ndarray) -> np.ndarray:
         """Flow a→b for index arrays; returns N×2×h×w (unpadded)."""
+        fmaps, nets, inps = self._encodings()
         n = len(idx_a)
         out = np.zeros((n, 2, self.h, self.w), np.float32)
-        bsz = self.pair_batch
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        bsz = max(self.pair_batch, n_dev)
+        bsz -= bsz % n_dev
         for s in range(0, n, bsz):
             e = min(s + bsz, n)
-            a = self._padded[idx_a[s:e]]
-            b = self._padded[idx_b[s:e]]
-            if e - s < bsz:  # pad partial batches to avoid recompiles
-                pad = bsz - (e - s)
-                a = np.concatenate([a, a[-1:].repeat(pad, 0)])
-                b = np.concatenate([b, b[-1:].repeat(pad, 0)])
-            from ..utils.retry import retry_transient
+            ia = pad_to_multiple(idx_a[s:e].astype(np.int32), bsz)
+            ib = pad_to_multiple(idx_b[s:e].astype(np.int32), bsz)
             flow = retry_transient(
-                lambda: raft.raft_forward(self.params, jnp.asarray(a),
-                                          jnp.asarray(b),
-                                          num_iters=self.num_iters),
-                what="raft batch")
+                lambda: self._decode_batch(fmaps, nets, inps,
+                                           jnp.asarray(ia), jnp.asarray(ib)),
+                what="raft pair batch")
             flow = self.padder.unpad(flow)
             out[s:e] = np.asarray(flow)[: e - s]
         return out

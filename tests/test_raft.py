@@ -136,6 +136,46 @@ def test_input_padder_matches_reference():
     np.testing.assert_allclose(np.asarray(padded), ref.numpy())
 
 
+def test_flow_engine_encode_once_matches_per_pair_forward():
+    """The O(T) hoisted-encoder engine must emit the same flows as running
+    the full raft_forward per pair (the reference's naive scheme)."""
+    from dino_tracker_tpu.preprocessing.flow import RaftFlowEngine
+
+    params = raft.init_raft(jax.random.PRNGKey(3))
+    t, h, w = 5, 30, 41
+    video = RNG.random((t, 3, h, w)).astype(np.float32)
+    eng = RaftFlowEngine(params, video, num_iters=2, pair_batch=3,
+                         encode_batch=2)
+    idx_a = np.array([0, 1, 2, 3, 0, 0])
+    idx_b = np.array([1, 2, 3, 4, 2, 4])
+    ours = eng._run_pairs(idx_a, idx_b)
+
+    padder = raft.InputPadder(video.shape)
+    padded = np.asarray(padder.pad(jnp.asarray(video)))
+    for i, (a, b) in enumerate(zip(idx_a, idx_b)):
+        ref = padder.unpad(raft.raft_forward(
+            params, jnp.asarray(padded[a:a + 1]), jnp.asarray(padded[b:b + 1]),
+            num_iters=2))
+        np.testing.assert_allclose(ours[i], np.asarray(ref)[0], atol=2e-4,
+                                   err_msg=f"pair {a}->{b}")
+
+
+def test_flow_engine_mesh_matches_single_device():
+    """Pair-axis sharding over an 8-device CPU mesh must not change flows."""
+    from dino_tracker_tpu.parallel.mesh import make_mesh
+    from dino_tracker_tpu.preprocessing.flow import RaftFlowEngine
+
+    params = raft.init_raft(jax.random.PRNGKey(4))
+    t, h, w = 4, 30, 41
+    video = RNG.random((t, 3, h, w)).astype(np.float32)
+    base = RaftFlowEngine(params, video, num_iters=2)
+    sharded = RaftFlowEngine(params, video, num_iters=2, mesh=make_mesh(8))
+    f1, b1 = base.adjacent_flows()
+    f2, b2 = sharded.adjacent_flows()
+    np.testing.assert_allclose(f1, f2, atol=2e-4)
+    np.testing.assert_allclose(b1, b2, atol=2e-4)
+
+
 def test_raft_converter_roundtrip():
     """Random params -> princeton-style state dict -> converter -> identical
     forward output."""
