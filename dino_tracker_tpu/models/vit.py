@@ -43,7 +43,12 @@ class ViTConfig:
 
     @classmethod
     def for_model(cls, model_name: str) -> "ViTConfig":
-        """dinov2_vit{s,b,l,g}14 presets (reference extractor.py:183-222)."""
+        """Presets for both hub families the reference loads
+        (models/extractor.py:26-28): dinov2_vit{s,b,l,g}14 from
+        facebookresearch/dinov2 when the name contains "v2", otherwise the
+        DINO-v1 dino_vit{s,b}{8,16} models from facebookresearch/dino:main
+        (patch 8/16, pretrained at 224 → pos-embed grid 224/patch, standard
+        pre-LN blocks WITHOUT layerscale)."""
         presets = {
             "s": dict(embed_dim=384, depth=12, num_heads=6),
             "b": dict(embed_dim=768, depth=12, num_heads=12),
@@ -51,8 +56,15 @@ class ViTConfig:
             "g": dict(embed_dim=1536, depth=40, num_heads=24),
         }
         for key, kw in presets.items():
-            if f"vit{key}" in model_name:
+            if f"vit{key}" not in model_name:
+                continue
+            if "v2" in model_name:
                 return cls(**kw)
+            if key not in ("s", "b"):
+                break  # v1 hub only ships ViT-S and ViT-B
+            patch = 8 if model_name.rstrip().endswith("8") else 16
+            return cls(patch_size=patch, pretrain_grid=224 // patch,
+                       layerscale=False, **kw)
         raise ValueError(f"unknown model name {model_name}")
 
 
@@ -234,16 +246,31 @@ def forward_features(params, frames_nchw, cfg: ViTConfig, stride: int,
 
 
 def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
-                          layer: Optional[int] = None, facet: str = "tokens",
+                          layer=None, facet: str = "tokens",
                           frames_per_batch: int = 4, attn_impl: str = "auto",
-                          compute_dtype=jnp.float32):
-    """video (T×3×H×W, [0,1]) -> feature video T×D×h0×w0 for one layer
-    (reference utils.py:33-72 ``get_dino_features_video``). Frame-batched;
-    under a mesh the frame axis shards across chips."""
+                          compute_dtype=jnp.float32, mesh=None):
+    """video (T×3×H×W, [0,1]) -> feature video(s) T×D×h0×w0
+    (reference utils.py:33-72 ``get_dino_features_video``).
+
+    ``layer`` may be an int (returns one array) or a sequence of ints
+    (returns a list, one ViT sweep total — the scan in forward_features
+    collects every requested layer in a single pass, so e.g. the training
+    layer 15 and the mask layer 23 cost one traversal, not two).
+
+    Frame-batched; pass ``mesh`` to shard the frame axis across chips
+    (parallel/mesh.py DATA_AXIS).
+    """
     t = video_tchw.shape[0]
-    layer = cfg.depth - 1 if layer is None else layer
+    single = layer is None or isinstance(layer, int)
+    if layer is None:
+        layers = [cfg.depth - 1]
+    elif isinstance(layer, int):
+        layers = [layer]
+    else:
+        layers = list(layer)
     mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
     std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+    from ..parallel.mesh import constrain_batch
 
     @jax.jit
     def run(p, frames):
@@ -254,27 +281,43 @@ def extract_feature_video(params, video_tchw, cfg: ViTConfig, stride: int = 7,
             # (mixed-dtype matmuls would silently promote back to f32);
             # layer_norm keeps its statistics in f32 internally
             p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
-        x = ((frames - mean) / std).astype(compute_dtype)
-        outs, grid_hw = forward_features(p, x, cfg, stride, [layer],
+        frames_s = constrain_batch(frames, mesh)
+        x = ((frames_s - mean) / std).astype(compute_dtype)
+        outs, grid_hw = forward_features(p, x, cfg, stride, layers,
                                          facet, attn_impl)
-        tokens = outs[0][:, 1:, :]  # drop cls
-        n = tokens.shape[0]
         h0, w0 = grid_hw
-        return jnp.transpose(tokens, (0, 2, 1)).reshape(
-            n, cfg.embed_dim, h0, w0).astype(jnp.float32)
+        results = []
+        for o in outs:
+            tokens = o[:, 1:, :]  # drop cls
+            n = tokens.shape[0]
+            r = jnp.transpose(tokens, (0, 2, 1)).reshape(
+                n, cfg.embed_dim, h0, w0).astype(jnp.float32)
+            results.append(constrain_batch(r, mesh))
+        return tuple(results)
+
+    def dispatch(frames):
+        if mesh is not None:
+            with mesh:
+                return run(params, frames)
+        return run(params, frames)
 
     from ..utils.retry import retry_transient
-    chunks = []
-    for s in range(0, t, frames_per_batch):
-        e = min(s + frames_per_batch, t)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    bsz = max(frames_per_batch, n_dev)
+    bsz -= bsz % n_dev
+    chunks = [[] for _ in layers]
+    for s in range(0, t, bsz):
+        e = min(s + bsz, t)
         frames = video_tchw[s:e]
-        if e - s < frames_per_batch:
-            pad = frames_per_batch - (e - s)
+        if e - s < bsz:
+            pad = bsz - (e - s)
             frames = jnp.concatenate([frames, frames[-1:].repeat(pad, axis=0)])
-        out = retry_transient(lambda: run(params, frames),
-                              what="dino feature batch")
-        chunks.append(out[: e - s])
-    return jnp.concatenate(chunks, axis=0)
+        outs = retry_transient(lambda: dispatch(frames),
+                               what="dino feature batch")
+        for i, out in enumerate(outs):
+            chunks[i].append(out[: e - s])
+    results = [jnp.concatenate(c, axis=0) for c in chunks]
+    return results[0] if single else results
 
 
 def keys_self_similarity(params, frames_nchw, cfg: ViTConfig, stride: int,

@@ -49,6 +49,7 @@ class PreprocessingPipeline:
     vit_cfg: Optional[ViTConfig] = None
     progress: bool = True
     flow_engine_override: Optional[object] = None  # injectable for tests
+    mesh: Optional[object] = None  # jax.sharding.Mesh: intra-video sharding
 
     def __post_init__(self):
         self.paths = add_config_paths(self.data_path)
@@ -70,7 +71,8 @@ class PreprocessingPipeline:
         if self._engine is None:
             assert self.raft_params is not None, "RAFT weights required"
             self._engine = RaftFlowEngine(self.raft_params, self.video,
-                                          num_iters=self.cfg.raft_iters)
+                                          num_iters=self.cfg.raft_iters,
+                                          mesh=self.mesh)
         return self._engine
 
     # -- stages -----------------------------------------------------------
@@ -91,21 +93,28 @@ class PreprocessingPipeline:
         logger.info("saved %s: %s", out_path, trajs.shape)
         return trajs
 
-    def extract_dino_features(self, layer: int, out_path: str,
+    def extract_dino_features(self, layer, out_path,
                               facet: str = None, stride: int = None):
-        """Returns the DEVICE feature array (downstream stages reuse it
-        without a host round trip); the artifact is saved from one fetch."""
+        """One ViT sweep for one layer (or several layers in a single pass
+        when ``layer``/``out_path`` are lists). Returns the DEVICE feature
+        array(s) (downstream stages reuse them without a host round trip);
+        artifacts are saved from one fetch."""
         assert self.vit_params is not None, "DINO weights required"
+        single = isinstance(layer, int)
+        layers = [layer] if single else list(layer)
+        out_paths = [out_path] if single else list(out_path)
         feats = extract_feature_video(
             self.vit_params, jnp.asarray(self.video), self.vit_cfg,
             stride=self.cfg.dino_stride if stride is None else stride,
-            layer=layer,
+            layer=layers,
             facet=self.cfg.dino_facet if facet is None else facet,
             frames_per_batch=self.cfg.extract_frames_per_batch,
-            compute_dtype=jnp.dtype(self.cfg.compute_dtype))
-        video_io.save_npz(out_path, features=np.asarray(feats))
-        logger.info("saved %s: %s", out_path, feats.shape)
-        return feats
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            mesh=self.mesh)
+        for f, path in zip(feats, out_paths):
+            video_io.save_npz(path, features=np.asarray(f))
+            logger.info("saved %s: %s", path, f.shape)
+        return feats[0] if single else feats
 
     def create_fg_masks(self, mask_features: np.ndarray):
         masks = fg_lib.compute_fg_masks(
@@ -133,12 +142,13 @@ class PreprocessingPipeline:
         bb = bb_lib.extract_best_buddies(
             features, h, w, stride,
             cap=self.cfg.bb_max_pairs_per_frame_pair, progress=self.progress,
-            unfiltered_trajectories=unfiltered_trajs)
+            unfiltered_trajectories=unfiltered_trajs, mesh=self.mesh)
         bb = bb_lib.compute_bb_ambiguity(
             bb, features, h, w, stride,
             box_size=float(self.cfg.dino_bb_box_size),
             iou_thresh=self.cfg.dino_bb_iou_threshold,
-            topk=self.cfg.dino_bb_nms_topk, progress=self.progress)
+            topk=self.cfg.dino_bb_nms_topk, progress=self.progress,
+            mesh=self.mesh)
         out = os.path.join(self.paths["dino_bb_dir"],
                            "dino_best_buddies_filtered.npz")
         save_bb_data(out, bb)
@@ -153,26 +163,41 @@ class PreprocessingPipeline:
             trajs = self.extract_trajectories(
                 self.cfg.filter_using_direct_flow,
                 self.paths["trajectories_file"])
-        # 2. DINO features
-        with stage_timer("preprocess/dino_features"):
-            feats = self.extract_dino_features(
-                self.cfg.dino_layer, self.paths["dino_embed_video_path"])
-        # 3. FG masks (skip if GT masks provided — main_preprocessing.py:38-51)
-        if not os.path.exists(self.paths["masks_path"]):
+        # 2 + 3. DINO features (+ FG masks from layer-23 features when no GT
+        # masks exist — main_preprocessing.py:38-51). When the mask facet/
+        # stride match the training facet/stride, both layers come from ONE
+        # ViT sweep (forward_features collects multiple layers per pass).
+        need_masks = not os.path.exists(self.paths["masks_path"])
+        fused = (need_masks
+                 and self.cfg.mask_dino_facet == self.cfg.dino_facet
+                 and self.cfg.mask_dino_stride == self.cfg.dino_stride)
+        if need_masks and self.cfg.mask_dino_model_name != self.cfg.dino_model_name:
+            logger.warning(
+                "mask_dino_model_name %s != dino_model_name %s — the "
+                "loaded DINO weights are used for both",
+                self.cfg.mask_dino_model_name, self.cfg.dino_model_name)
+        if fused:
+            with stage_timer("preprocess/dino_features"):
+                feats, mask_feats = self.extract_dino_features(
+                    [self.cfg.dino_layer, self.cfg.mask_dino_layer],
+                    [self.paths["dino_embed_video_path"],
+                     self.paths["mask_dino_embed_video_path"]])
             with stage_timer("preprocess/fg_masks"):
-                if self.cfg.mask_dino_model_name != self.cfg.dino_model_name:
-                    logger.warning(
-                        "mask_dino_model_name %s != dino_model_name %s — the "
-                        "loaded DINO weights are used for both",
-                        self.cfg.mask_dino_model_name, self.cfg.dino_model_name)
-                mask_feats = self.extract_dino_features(
-                    self.cfg.mask_dino_layer,
-                    self.paths["mask_dino_embed_video_path"],
-                    facet=self.cfg.mask_dino_facet,
-                    stride=self.cfg.mask_dino_stride)
                 self.create_fg_masks(np.asarray(mask_feats))
         else:
-            logger.info("masks exist, skipping fg-mask stage")
+            with stage_timer("preprocess/dino_features"):
+                feats = self.extract_dino_features(
+                    self.cfg.dino_layer, self.paths["dino_embed_video_path"])
+            if need_masks:
+                with stage_timer("preprocess/fg_masks"):
+                    mask_feats = self.extract_dino_features(
+                        self.cfg.mask_dino_layer,
+                        self.paths["mask_dino_embed_video_path"],
+                        facet=self.cfg.mask_dino_facet,
+                        stride=self.cfg.mask_dino_stride)
+                    self.create_fg_masks(np.asarray(mask_feats))
+            else:
+                logger.info("masks exist, skipping fg-mask stage")
         # 4. fg/bg split
         with stage_timer("preprocess/split_fg_bg"):
             self.split_trajectories(trajs)

@@ -116,8 +116,9 @@ class TorchDinoV2(tnn.Module):
                 "fc1": tnn.Linear(d, cfg.mlp_ratio * d),
                 "fc2": tnn.Linear(cfg.mlp_ratio * d, d),
             })
-            blk.ls1 = tnn.Parameter(torch.rand(d) * 2)
-            blk.ls2 = tnn.Parameter(torch.rand(d) * 2)
+            if cfg.layerscale:
+                blk.ls1 = tnn.Parameter(torch.rand(d) * 2)
+                blk.ls2 = tnn.Parameter(torch.rand(d) * 2)
             self.blocks.append(blk)
 
     def interpolate_pos_encoding(self, x, w, h):
@@ -157,9 +158,11 @@ class TorchDinoV2(tnn.Module):
             q, k, v = qkv.reshape(b, s, 3, heads, -1).permute(2, 0, 3, 1, 4)
             att = F.scaled_dot_product_attention(q, k, v)
             att = att.transpose(1, 2).reshape(b, s, -1)
-            x = x + blk.ls1 * blk["proj"](att)
+            ls1 = blk.ls1 if self.cfg.layerscale else 1.0
+            ls2 = blk.ls2 if self.cfg.layerscale else 1.0
+            x = x + ls1 * blk["proj"](att)
             y = blk["norm2"](x)
-            x = x + blk.ls2 * blk["fc2"](F.gelu(blk["fc1"](y)))
+            x = x + ls2 * blk["fc2"](F.gelu(blk["fc1"](y)))
             outs.append(x)
         return [outs[i] for i in return_layers]
 
@@ -185,8 +188,9 @@ class TorchDinoV2(tnn.Module):
             sd[p + "mlp.fc1.bias"] = blk["fc1"].bias
             sd[p + "mlp.fc2.weight"] = blk["fc2"].weight
             sd[p + "mlp.fc2.bias"] = blk["fc2"].bias
-            sd[p + "ls1.gamma"] = blk.ls1
-            sd[p + "ls2.gamma"] = blk.ls2
+            if self.cfg.layerscale:
+                sd[p + "ls1.gamma"] = blk.ls1
+                sd[p + "ls2.gamma"] = blk.ls2
         return sd
 
 
@@ -211,6 +215,48 @@ def test_vit_forward_parity_with_torch_mirror():
     assert grid_hw == (5, 7)
     for ours, ref in zip(outs, ref_layers):
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=5e-4)
+
+
+SMALL_V1 = ViTConfig(embed_dim=32, depth=3, num_heads=4, mlp_ratio=2,
+                     patch_size=8, pretrain_grid=6, layerscale=False)
+
+
+def test_vit_v1_forward_parity_with_torch_mirror():
+    """DINO-v1 preset (patch 8, no layerscale) against the torch mirror with
+    the same overlapping-stride + pos-embed interpolation semantics."""
+    stride = 4
+    h, w = 32, 40  # grid 7×9 = 63 tokens
+    tmodel = TorchDinoV2(SMALL_V1, stride)
+    tmodel.eval()
+    params = convert_dinov2_state_dict(tmodel.state_dict_dinov2(), SMALL_V1)
+    assert "ls1" not in params["blocks"][0]
+
+    img = RNG.standard_normal((2, 3, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_layers = tmodel(torch.from_numpy(img), return_layers=[2])
+
+    outs, grid_hw = jvit.forward_features(params, jnp.asarray(img), SMALL_V1,
+                                          stride, layers=[2],
+                                          facet="tokens", attn_impl="xla")
+    assert grid_hw == (7, 9)
+    np.testing.assert_allclose(np.asarray(outs[0]), ref_layers[0].numpy(),
+                               atol=5e-4)
+
+
+def test_for_model_presets():
+    """Both hub families resolve (reference models/extractor.py:26-28)."""
+    v2 = ViTConfig.for_model("dinov2_vitl14")
+    assert (v2.embed_dim, v2.depth, v2.patch_size, v2.layerscale) == (
+        1024, 24, 14, True)
+    for name, dim, patch in [("dino_vits8", 384, 8), ("dino_vits16", 384, 16),
+                             ("dino_vitb8", 768, 8), ("dino_vitb16", 768, 16)]:
+        cfg = ViTConfig.for_model(name)
+        assert (cfg.embed_dim, cfg.patch_size, cfg.layerscale) == (
+            dim, patch, False), name
+        assert cfg.pretrain_grid == 224 // patch
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ViTConfig.for_model("dino_vitl16")  # v1 hub has no ViT-L
 
 
 def test_vit_qkv_facets():
@@ -238,6 +284,42 @@ def test_extract_feature_video_shape_and_batching():
                                         layer=1, frames_per_batch=5,
                                         attn_impl="xla")
     np.testing.assert_allclose(np.asarray(feats), np.asarray(feats1), atol=1e-5)
+
+
+def test_extract_feature_video_multi_layer_single_pass():
+    """A layer list returns per-layer feature videos identical to separate
+    single-layer sweeps (one ViT traversal for all of them)."""
+    tmodel = TorchDinoV2(SMALL, 7)
+    params = convert_dinov2_state_dict(tmodel.state_dict_dinov2(), SMALL)
+    video = jnp.asarray(RNG.random((3, 3, 42, 56), dtype=np.float32))
+    multi = jvit.extract_feature_video(params, video, SMALL, stride=7,
+                                       layer=[0, 2], frames_per_batch=2,
+                                       attn_impl="xla")
+    assert isinstance(multi, list) and len(multi) == 2
+    for li, got in zip([0, 2], multi):
+        single = jvit.extract_feature_video(params, video, SMALL, stride=7,
+                                            layer=li, frames_per_batch=2,
+                                            attn_impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                                   atol=1e-5)
+
+
+def test_extract_feature_video_mesh_matches_single_device():
+    """Frame-axis sharding over the 8-device CPU mesh must not change
+    features (frames_per_batch rounds up to the mesh size)."""
+    from dino_tracker_tpu.parallel.mesh import make_mesh
+
+    tmodel = TorchDinoV2(SMALL, 7)
+    params = convert_dinov2_state_dict(tmodel.state_dict_dinov2(), SMALL)
+    video = jnp.asarray(RNG.random((5, 3, 42, 56), dtype=np.float32))
+    base = jvit.extract_feature_video(params, video, SMALL, stride=7,
+                                      layer=2, frames_per_batch=2,
+                                      attn_impl="xla")
+    sharded = jvit.extract_feature_video(params, video, SMALL, stride=7,
+                                         layer=2, frames_per_batch=2,
+                                         attn_impl="xla", mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(sharded),
+                               atol=1e-5)
 
 
 def test_extraction_bf16_close_to_f32():
