@@ -14,10 +14,13 @@ TPU redesign: the T² ordered-pair loop becomes a sweep over unordered pairs
 (affinity(t,s) = affinity(s,t)ᵀ — one 8107×8107 MXU matmul serves both
 directions, and the reverse direction's buddy list is the mirror of the
 forward one, which also makes the r-symmetrization index-aligned instead of
-the reference's coordinate-matching loop). Ragged per-pair buddy lists
-become BBData padded to a fixed capacity (strongest-cosine buddies kept when
-over capacity). The nearest-trajectory grids are chunked running-argmin
-reductions instead of a per-point python loop.
+the reference's coordinate-matching loop). Pairs batch on a leading axis
+(vmap over one jitted program) and shard across chips when a mesh is given;
+the batch size is HBM-budgeted against the P×n×n affinity working set.
+Ragged per-pair buddy lists become BBData padded to a fixed capacity
+(strongest-cosine buddies kept when over capacity). The nearest-trajectory
+grids are chunked running-argmin reductions instead of a per-point python
+loop.
 """
 
 from __future__ import annotations
@@ -30,12 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.nms import nms_top2_peaks
+from ..parallel.mesh import constrain_batch, pad_to_multiple
 from ..structures import BBData
 from ..utils.coords import bb_meshgrid
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "use_of_filter"))
-def _mutual_nn_pair(source_flat_nc, target_flat_mc, grid_n2, cap: int,
+def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
                     use_of_filter: bool = False, closest_s=None,
                     closest_t=None, traj_invalid=None, s_frame=None,
                     t_frame=None):
@@ -77,17 +80,23 @@ def _mutual_nn_pair(source_flat_nc, target_flat_mc, grid_n2, cap: int,
             valid)
 
 
+# budget for the P×n×n f32 affinity working set of one batched sweep call
+_AFFINITY_BUDGET_BYTES = 2 << 30
+
+
 def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
                          patch_size: int = 14, cap: int = 1024,
                          compute_dtype=jnp.float32,
                          progress: bool = False,
-                         unfiltered_trajectories: Optional[np.ndarray] = None
-                         ) -> BBData:
+                         unfiltered_trajectories: Optional[np.ndarray] = None,
+                         pair_batch: int = 8, mesh=None) -> BBData:
     """Mutual-NN sweep over all frame pairs -> BBData (reference
     extract_dino_best_buddies.py:13-54).
 
     With ``unfiltered_trajectories`` the optical-flow-gap filter runs fused
-    inside the sweep, before the capacity cap.
+    inside the sweep, before the capacity cap. ``pair_batch`` unordered
+    pairs run per dispatch (vmapped, HBM-budgeted); with ``mesh`` the pair
+    axis shards across chips.
     """
     t, c = features_tchw.shape[:2]
     grid = bb_meshgrid(h, w, stride, patch_size)  # n×2
@@ -102,35 +111,62 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
             unfiltered_trajectories, grid))  # T×n
         invalid = jnp.asarray(np.isnan(unfiltered_trajectories).any(axis=-1))
 
+    n_dev = mesh.devices.size if mesh is not None else 1
+    bsz = min(pair_batch, max(1, _AFFINITY_BUDGET_BYTES // (n * n * 4)))
+    bsz = max(bsz, n_dev)
+    bsz -= bsz % n_dev
+
+    @jax.jit
+    def run_batch(flat, closest, invalid, s_idx, u_idx):
+        fs = constrain_batch(jnp.take(flat, s_idx, axis=0), mesh)
+        fu = constrain_batch(jnp.take(flat, u_idx, axis=0), mesh)
+        if use_filter:
+            cs = constrain_batch(jnp.take(closest, s_idx, axis=0), mesh)
+            cu = constrain_batch(jnp.take(closest, u_idx, axis=0), mesh)
+            out = jax.vmap(
+                lambda a, b, c1, c2, sf, uf: _mutual_nn_core(
+                    a, b, cap, True, c1, c2, invalid, sf, uf)
+            )(fs, fu, cs, cu, s_idx, u_idx)
+        else:
+            out = jax.vmap(lambda a, b: _mutual_nn_core(a, b, cap))(fs, fu)
+        return jax.tree.map(lambda x: constrain_batch(x, mesh), out)
+
+    def dispatch(s_idx, u_idx):
+        args = (flat, closest, invalid, jnp.asarray(s_idx), jnp.asarray(u_idx))
+        if mesh is not None:
+            with mesh:
+                return run_batch(*args)
+        return run_batch(*args)
+
     src_c = np.zeros((t, t, cap, 2), np.float32)
     tgt_c = np.zeros((t, t, cap, 2), np.float32)
     cos = np.zeros((t, t, cap), np.float32)
     valid = np.zeros((t, t, cap), bool)
     grid_np = np.asarray(grid)
 
-    pairs = [(s, u) for s in range(t) for u in range(s + 1, t)]
+    pairs = np.asarray([(s, u) for s in range(t) for u in range(s + 1, t)],
+                       np.int32).reshape(-1, 2)
+    batches = range(0, len(pairs), bsz)
     if progress:
         from tqdm import tqdm
-        pairs = tqdm(pairs, desc="best buddies")
-    for s, u in pairs:
-        if use_filter:
-            si, ti, cs, va = _mutual_nn_pair(
-                flat[s], flat[u], grid, cap, use_of_filter=True,
-                closest_s=closest[s], closest_t=closest[u],
-                traj_invalid=invalid, s_frame=jnp.asarray(s),
-                t_frame=jnp.asarray(u))
-        else:
-            si, ti, cs, va = _mutual_nn_pair(flat[s], flat[u], grid, cap)
-        si, ti, cs, va = map(np.asarray, (si, ti, cs, va))
-        src_c[s, u] = grid_np[si]
-        tgt_c[s, u] = grid_np[ti]
-        cos[s, u] = cs
-        valid[s, u] = va
-        # mirror for the reverse direction (mutual pairs are symmetric)
-        src_c[u, s] = grid_np[ti]
-        tgt_c[u, s] = grid_np[si]
-        cos[u, s] = cs
-        valid[u, s] = va
+        batches = tqdm(batches, desc="best buddies",
+                       total=-(-len(pairs) // bsz))
+    for b0 in batches:
+        chunk = pairs[b0:b0 + bsz]
+        padded = pad_to_multiple(chunk, bsz)
+        si_b, ti_b, cs_b, va_b = map(
+            np.asarray, dispatch(padded[:, 0], padded[:, 1]))
+        for j, (s, u) in enumerate(chunk):
+            si, ti, cs, va = si_b[j], ti_b[j], cs_b[j], va_b[j]
+            src_c[s, u] = grid_np[si]
+            tgt_c[s, u] = grid_np[ti]
+            cos[s, u] = cs
+            valid[s, u] = va
+            # mirror for the reverse direction (mutual pairs are symmetric)
+            src_c[u, s] = grid_np[ti]
+            tgt_c[u, s] = grid_np[si]
+            cos[u, s] = cs
+            valid[u, s] = va
 
     return BBData(jnp.asarray(src_c), jnp.asarray(tgt_c), jnp.asarray(cos),
                   jnp.ones((t, t, cap), jnp.float32), jnp.asarray(valid))
@@ -181,12 +217,14 @@ def closest_trajectory_grids(trajectories_nt2: np.ndarray, grid_n2,
 
 
 def of_filter_best_buddies(bb: BBData, trajectories_nt2: np.ndarray,
-                           h: int, w: int, stride: int = 7) -> BBData:
+                           h: int, w: int, stride: int = 7,
+                           patch_size: int = 14) -> BBData:
     """Keep buddies only where flow supervision is absent: the nearest
     trajectory to the source point must be invalid at the target frame and
     vice versa (reference of_filter_dino_best_buddies.py:37-112)."""
     t = bb.num_frames
-    grid = bb_meshgrid(h, w, stride)
+    half = patch_size // 2
+    grid = bb_meshgrid(h, w, stride, patch_size)
     closest = closest_trajectory_grids(trajectories_nt2, grid)  # T×n
     grid_np = np.asarray(grid)
     gh = len(np.unique(grid_np[:, 1]))
@@ -201,9 +239,9 @@ def of_filter_best_buddies(bb: BBData, trajectories_nt2: np.ndarray,
         for u in range(t):
             if s == u:
                 continue
-            # pixel coords -> feature-grid indices ((x - 7) // stride)
-            sidx = ((src[s, u] - 7) // stride).astype(np.int64)
-            tidx = ((tgt[s, u] - 7) // stride).astype(np.int64)
+            # pixel coords -> feature-grid indices ((x - patch/2) // stride)
+            sidx = ((src[s, u] - half) // stride).astype(np.int64)
+            tidx = ((tgt[s, u] - half) // stride).astype(np.int64)
             sidx = np.clip(sidx, 0, [gw - 1, gh - 1])
             tidx = np.clip(tidx, 0, [gw - 1, gh - 1])
             s_traj = closest_grids[s, sidx[:, 1], sidx[:, 0]]
@@ -217,7 +255,6 @@ def of_filter_best_buddies(bb: BBData, trajectories_nt2: np.ndarray,
 # NMS ambiguity
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("topk", "box_size", "iou_thresh"))
 def _pair_ambiguity(source_feats_cap_c, target_flat_nc, grid_n2,
                     topk: int, box_size: float, iou_thresh: float):
     """r for each (padded) buddy of one ordered pair."""
@@ -234,35 +271,65 @@ def _pair_ambiguity(source_feats_cap_c, target_flat_nc, grid_n2,
 def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
                          stride: int = 7, box_size: float = 30.0,
                          iou_thresh: float = 0.2, topk: int = 400,
-                         progress: bool = False) -> BBData:
+                         patch_size: int = 14, progress: bool = False,
+                         pair_batch: int = 16, mesh=None) -> BBData:
     """Ambiguity r per buddy, symmetrized max(r_fwd, r_bwd) across the two
     directions of each unordered pair (reference compute_dino_bb_nms.py).
     Because the reverse buddy list is the forward list mirrored, the
-    symmetrization is a plain elementwise max."""
+    symmetrization is a plain elementwise max. Unordered pairs batch per
+    dispatch (both directions of a pair inside one program); with ``mesh``
+    the pair axis shards across chips."""
     t, c = features_tchw.shape[:2]
     cap = bb.capacity
-    grid = bb_meshgrid(h, w, stride)
+    half = patch_size // 2
+    gw = 1 + (w - patch_size) // stride
+    grid = bb_meshgrid(h, w, stride, patch_size)
     flat = jnp.asarray(features_tchw).reshape(t, c, -1)  # t×c×n
-    src = np.asarray(bb.source_coords)
+    flat_nc = flat.transpose(0, 2, 1)  # t×n×c
+    src = jnp.asarray(bb.source_coords)  # t×t×cap×2
 
-    def feats_at(frame, coords_cap2):
-        fx = ((coords_cap2[:, 0] - 7) // stride).astype(np.int64)
-        fy = ((coords_cap2[:, 1] - 7) // stride).astype(np.int64)
-        gw = 1 + (w - 14) // stride
-        idx = fy * gw + fx
-        return flat[frame][:, np.clip(idx, 0, flat.shape[2] - 1)].T  # cap×c
+    n_dev = mesh.devices.size if mesh is not None else 1
+    bsz = max(pair_batch, n_dev)
+    bsz -= bsz % n_dev
+
+    @jax.jit
+    def run_batch(flat_nc, src, s_idx, u_idx):
+        def one_dir(s, u):
+            coords = src[s, u]  # cap×2
+            fx = ((coords[:, 0] - half) // stride).astype(jnp.int32)
+            fy = ((coords[:, 1] - half) // stride).astype(jnp.int32)
+            idx = jnp.clip(fy * gw + fx, 0, flat_nc.shape[1] - 1)
+            sfeats = flat_nc[s][idx]  # cap×c
+            _, r = _pair_ambiguity(sfeats, flat_nc[u], grid, topk,
+                                   box_size, iou_thresh)
+            return r
+
+        s_idx = constrain_batch(s_idx, mesh)
+        u_idx = constrain_batch(u_idx, mesh)
+        r_fwd = jax.vmap(one_dir)(s_idx, u_idx)
+        r_bwd = jax.vmap(one_dir)(u_idx, s_idx)
+        return constrain_batch(jnp.maximum(r_fwd, r_bwd), mesh)
+
+    def dispatch(s_idx, u_idx):
+        args = (flat_nc, src, jnp.asarray(s_idx), jnp.asarray(u_idx))
+        if mesh is not None:
+            with mesh:
+                return run_batch(*args)
+        return run_batch(*args)
 
     r_out = np.ones((t, t, cap), np.float32)
-    pairs = [(s, u) for s in range(t) for u in range(s + 1, t)]
+    pairs = np.asarray([(s, u) for s in range(t) for u in range(s + 1, t)],
+                       np.int32).reshape(-1, 2)
+    batches = range(0, len(pairs), bsz)
     if progress:
         from tqdm import tqdm
-        pairs = tqdm(pairs, desc="bb ambiguity")
-    for s, u in pairs:
-        _, r_fwd = _pair_ambiguity(feats_at(s, src[s, u]), flat[u].T, grid,
-                                   topk, box_size, iou_thresh)
-        _, r_bwd = _pair_ambiguity(feats_at(u, src[u, s]), flat[s].T, grid,
-                                   topk, box_size, iou_thresh)
-        r = np.maximum(np.asarray(r_fwd), np.asarray(r_bwd))
-        r_out[s, u] = r
-        r_out[u, s] = r
+        batches = tqdm(batches, desc="bb ambiguity",
+                       total=-(-len(pairs) // bsz))
+    for b0 in batches:
+        chunk = pairs[b0:b0 + bsz]
+        padded = pad_to_multiple(chunk, bsz)
+        r_b = np.asarray(dispatch(padded[:, 0], padded[:, 1]))
+        for j, (s, u) in enumerate(chunk):
+            r_out[s, u] = r_b[j]
+            r_out[u, s] = r_b[j]
     return bb._replace(r=jnp.asarray(r_out))

@@ -251,3 +251,41 @@ def test_fused_of_filter_before_cap():
     # sanity: without the filter the cap keeps the 2 strongest instead
     bb2 = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride, cap=2)
     assert np.asarray(bb2.valid)[0, 1].sum() == 2
+
+
+# ---------------------------------------------------------------------------
+# pair-batched sweep / mesh sharding
+# ---------------------------------------------------------------------------
+
+def test_extract_best_buddies_mesh_matches_single_device():
+    """The pair-batched sweep sharded over the 8-device CPU mesh must equal
+    the unsharded sweep (including the fused OF filter)."""
+    from dino_tracker_tpu.parallel.mesh import make_mesh
+
+    h, w, stride, c, t = 42, 56, 7, 8, 5
+    feats = RNG.standard_normal((t, c, 5, 7)).astype(np.float32)
+    trajs = RNG.random((40, t, 2)).astype(np.float32) * [w - 1, h - 1]
+    trajs[RNG.random((40, t)) < 0.5] = np.nan
+    kw = dict(cap=16, unfiltered_trajectories=trajs)
+    base = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride,
+                                       pair_batch=3, **kw)
+    sharded = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride,
+                                          mesh=make_mesh(8), **kw)
+    for name in ("source_coords", "target_coords", "cos_sims", "valid"):
+        np.testing.assert_allclose(np.asarray(getattr(base, name)),
+                                   np.asarray(getattr(sharded, name)),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_bb_ambiguity_mesh_matches_single_device():
+    from dino_tracker_tpu.parallel.mesh import make_mesh
+
+    h, w, stride, c, t = 42, 56, 7, 8, 4
+    feats = RNG.standard_normal((t, c, 5, 7)).astype(np.float32)
+    bb = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride, cap=8)
+    base = bb_lib.compute_bb_ambiguity(bb, jnp.asarray(feats), h, w, stride,
+                                       topk=8, pair_batch=2)
+    sharded = bb_lib.compute_bb_ambiguity(bb, jnp.asarray(feats), h, w,
+                                          stride, topk=8, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(base.r), np.asarray(sharded.r),
+                               atol=1e-5)
