@@ -13,7 +13,11 @@ TPU redesign: the reference loops one query × one anchor at a time
 (model_inference.py:69-72,137-147); here all (query, frame) and
 (query, anchor, frame) predictions are flat fixed-size batches through one
 jitted prediction kernel, and the variable-anchor medians become masked
-medians. Chunk size bounds the B×H'·W' correlation working set.
+medians. Anchors gather onto a padded max-visible axis (bucketed to
+multiples of 8 so shapes stay static across queries) instead of predicting
+all T×T pairs — the reference re-tracks only from visible anchors
+(model_inference.py:160-163). Chunk size bounds the B×H'·W' correlation
+working set; pass ``mesh`` to shard the flat prediction batch across chips.
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ class ModelInference:
     anchor_cosine_similarity_threshold: float = 0.5
     cosine_similarity_threshold: float = 0.5
     chunk: int = 4096
+    mesh: Optional[object] = None  # jax.sharding.Mesh: shard the flat batch
 
     # cap on the B×T×h'w' f32 correlation intermediate per prediction chunk
     corr_budget_bytes: int = 2 << 30
@@ -57,9 +62,13 @@ class ModelInference:
         hw = self.refined_features.shape[2] * self.refined_features.shape[3]
         max_chunk = max(256, int(self.corr_budget_bytes / (t * hw * 4)))
         self.chunk = min(self.chunk, max_chunk)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        self.chunk = max(self.chunk - self.chunk % n_dev, n_dev)
         frames_set = jnp.arange(t, dtype=jnp.int32)
         scale = jnp.asarray([self.cfg.video_w - 1, self.cfg.video_h - 1],
                             jnp.float32)
+        from ..parallel.mesh import constrain_batch
+        mesh = self.mesh
 
         # the refined feature video and params enter the jitted fns as
         # ARGUMENTS — closing over them would bake GB-scale constants into
@@ -67,14 +76,22 @@ class ModelInference:
         def predict(params, refined, source_points, source_frames,
                     target_frames):
             """B×3 pixel (x, y, t_abs) → B×2 pixel coords on target frames."""
-            inp = TrackerInput(source_points, source_frames, target_frames,
+            inp = TrackerInput(constrain_batch(source_points, mesh),
+                               constrain_batch(source_frames, mesh),
+                               constrain_batch(target_frames, mesh),
                                frames_set)
             out = tracker.get_point_predictions(params, inp, refined, self.cfg)
-            return (out + 1.0) * 0.5 * scale
+            return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
 
         _predict = jax.jit(predict)
-        self._predict = lambda p, sp, sf, tf: _predict(
-            p, self.refined_features, sp, sf, tf)
+
+        def dispatch(p, sp, sf, tf):
+            if mesh is not None:
+                with mesh:
+                    return _predict(p, self.refined_features, sp, sf, tf)
+            return _predict(p, self.refined_features, sp, sf, tf)
+
+        self._predict = dispatch
 
         def sample_feats(refined, points_b3):
             pts = jnp.asarray(points_b3)
@@ -132,30 +149,68 @@ class ModelInference:
         # torch cosine_similarity clamps the denominator at eps=1e-8
         return num / jnp.clip(den, min=1e-8)
 
-    def compute_anchor_trajectories(self, trajectories) -> jnp.ndarray:
-        """G[q, a, t] = trajectory point (q, t) re-tracked to frame a, for ALL
-        frames a — anchor masking happens in the occlusion rule. N×T×T×2."""
+    def compute_anchor_trajectories(self, trajectories, cos_sims=None):
+        """G[q, a, t] = trajectory point (q, t) re-tracked to anchor frame
+        ``anchor_idx[q, a]`` (reference _get_model_preds_at_anchors:130-154).
+
+        With ``cos_sims`` given, anchors are ONLY the visible frames
+        (cos ≥ threshold, reference model_inference.py:160-163), gathered
+        onto a padded axis of size A = max visible count rounded up to a
+        multiple of 8 (static shapes, bounded recompiles) — cutting the
+        dominant inference batch by ~T/T_vis vs predicting all T×T pairs.
+        Without ``cos_sims`` every frame is an anchor (A = T).
+
+        Returns (G N×A×T×2, anchor_idx N×A int32, anchor_valid N×A bool).
+        """
         n, t = trajectories.shape[:2]
+        if cos_sims is None:
+            anchor_idx = np.broadcast_to(np.arange(t, dtype=np.int32), (n, t))
+            anchor_valid = np.ones((n, t), bool)
+        else:
+            visible = np.asarray(cos_sims) >= self.anchor_cosine_similarity_threshold
+            a_cap = int(min(t, max(8, -8 * (-int(visible.sum(1).max()) // 8))))
+            # stable argsort puts visible indices first, in frame order
+            order = np.argsort(~visible, axis=1, kind="stable")[:, :a_cap]
+            anchor_valid = np.take_along_axis(visible, order, axis=1)
+            # padded slots re-point at the row's first anchor (their
+            # predictions are computed but masked out of the medians)
+            anchor_idx = np.where(anchor_valid, order, order[:, :1]).astype(np.int32)
+        a = anchor_idx.shape[1]
+
         pts = trajectories  # N×T×3
-        # flat batch over (query, anchor, frame)
-        src = jnp.broadcast_to(pts[:, None, :, :], (n, t, t, 3)).reshape(-1, 3)
+        src = jnp.broadcast_to(pts[:, None, :, :], (n, a, t, 3)).reshape(-1, 3)
         src_frames = src[:, 2].astype(jnp.int32)
         anchors = jnp.broadcast_to(
-            jnp.arange(t, dtype=jnp.int32)[None, :, None], (n, t, t)).reshape(-1)
+            jnp.asarray(anchor_idx)[:, :, None], (n, a, t)).reshape(-1)
         coords = self._predict_chunked(src, src_frames, anchors)
-        return coords.reshape(n, t, t, 2)
+        return (coords.reshape(n, a, t, 2), jnp.asarray(anchor_idx),
+                jnp.asarray(anchor_valid))
 
-    def compute_occlusion(self, trajectories, cos_sims, anchor_trajectories):
+    def compute_occlusion(self, trajectories, cos_sims, anchor_trajectories,
+                          anchor_idx=None, anchor_valid=None):
         """Masked-median occlusion rule (reference
-        model_inference.py:169-200). Returns N×T bool."""
+        model_inference.py:169-200). Returns N×T bool.
+
+        ``anchor_trajectories`` is N×A×T×2 over the (padded) anchor axis with
+        ``anchor_idx``/``anchor_valid`` from compute_anchor_trajectories;
+        legacy full-grid callers may pass N×T×T×2 alone (anchors = all
+        frames, validity = visibility).
+        """
         anch_th = self.anchor_cosine_similarity_threshold
         cos_th = self.cosine_similarity_threshold
-        visible = cos_sims >= anch_th  # N×T — anchor set per query
+        n, t = trajectories.shape[:2]
+        visible = cos_sims >= anch_th  # N×T — over the time axis
+        if anchor_idx is None:
+            assert anchor_trajectories.shape[1] == t
+            anchor_idx = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (n, t))
+            anchor_valid = visible
 
         src = trajectories[:, :, :2]  # N×T×2
-        # dists[q, a, t] = ||G[q, a, t] - traj[q, a]||
+        traj_at_anchor = jnp.take_along_axis(
+            src, anchor_idx[:, :, None], axis=1)  # N×A×2
+        # dists[q, a, t] = ||G[q, a, t] - traj[q, anchor_idx[q, a]]||
         dists = jnp.linalg.norm(
-            anchor_trajectories - src[:, :, None, :], axis=-1)  # N×T(a)×T(t)
+            anchor_trajectories - traj_at_anchor[:, :, None, :], axis=-1)
 
         def masked_median(x, mask):
             """torch.median semantics (lower middle) over masked entries."""
@@ -166,9 +221,9 @@ class ModelInference:
             med = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
             return jnp.where(cnt > 0, med, jnp.inf)
 
-        # median over anchors a (axis 1), masked by anchor visibility
+        # median over the anchor axis, masked by anchor validity
         med_over_anchors = masked_median(
-            jnp.swapaxes(dists, 1, 2), visible[:, None, :])  # N×T(t)
+            jnp.swapaxes(dists, 1, 2), anchor_valid[:, None, :])  # N×T(t)
         # threshold: max over visible t of that median
         med_at_visible = jnp.where(visible, med_over_anchors, -jnp.inf)
         th = jnp.max(med_at_visible, axis=-1, keepdims=True)  # N×1
@@ -180,6 +235,8 @@ class ModelInference:
         """(trajectories N×T×2 pixel, occlusions N×T bool)."""
         trajs = self.compute_trajectories(query_points)
         cos_sims = self.compute_trajectory_cos_sims(trajs, query_points)
-        anchors = self.compute_anchor_trajectories(trajs)
-        occ = self.compute_occlusion(trajs, cos_sims, anchors)
+        anchors, anchor_idx, anchor_valid = self.compute_anchor_trajectories(
+            trajs, cos_sims)
+        occ = self.compute_occlusion(trajs, cos_sims, anchors,
+                                     anchor_idx, anchor_valid)
         return np.asarray(trajs[..., :2]), np.asarray(occ)

@@ -64,6 +64,32 @@ def torch_occ_pred_for_qp(green, source, cos, anch_th, cos_th):
     return (med > th) | (cos < cos_th)
 
 
+def test_padded_anchor_path_matches_full_grid():
+    """Visible-only anchor gather (padded) must reproduce the full-T×T-grid
+    occlusion decision and the gathered anchor predictions exactly."""
+    mi, _ = make_inference()
+    q = np.array([[20.0, 30.0, 0.0], [50.0, 40.0, 2.0], [70.0, 10.0, 4.0]],
+                 dtype=np.float32)
+    trajs = mi.compute_trajectories(jnp.asarray(q))
+    cos = mi.compute_trajectory_cos_sims(trajs, jnp.asarray(q))
+
+    g_full, idx_full, valid_full = mi.compute_anchor_trajectories(trajs)
+    t = trajs.shape[1]
+    assert g_full.shape[1] == t and bool(np.asarray(valid_full).all())
+    occ_legacy = np.asarray(mi.compute_occlusion(trajs, cos, g_full))
+
+    g, idx, valid = mi.compute_anchor_trajectories(trajs, cos)
+    assert g.shape[1] <= t
+    visible = np.asarray(cos) >= mi.anchor_cosine_similarity_threshold
+    np.testing.assert_array_equal(np.asarray(valid).sum(1), visible.sum(1))
+    occ_new = np.asarray(mi.compute_occlusion(trajs, cos, g, idx, valid))
+    np.testing.assert_array_equal(occ_new, occ_legacy)
+
+    gathered = np.take_along_axis(np.asarray(g_full),
+                                  np.asarray(idx)[:, :, None, None], axis=1)
+    np.testing.assert_allclose(np.asarray(g), gathered, atol=1e-5)
+
+
 def test_occlusion_rule_parity():
     mi, _ = make_inference()
     n, t = 4, 9
@@ -82,3 +108,20 @@ def test_occlusion_rule_parity():
         green_q = green_full[q][visible]
         ref = torch_occ_pred_for_qp(green_q, trajs[q], cos[q], 0.7, 0.6)
         np.testing.assert_array_equal(ours[q], ref.numpy(), err_msg=f"qp {q}")
+
+
+def test_inference_mesh_matches_single_device():
+    """Flat prediction batch sharded over the 8-device CPU mesh must give
+    identical trajectories and occlusions."""
+    from dino_tracker_tpu.parallel.mesh import make_mesh
+
+    mi, tcfg = make_inference()
+    mi_sharded = ModelInference(
+        params=mi.params, refined_features=mi.refined_features, cfg=tcfg,
+        anchor_cosine_similarity_threshold=0.7,
+        cosine_similarity_threshold=0.6, chunk=64, mesh=make_mesh(8))
+    q = np.array([[20.0, 30.0, 0.0], [50.0, 40.0, 2.0]], dtype=np.float32)
+    t1, o1 = mi.infer(q)
+    t2, o2 = mi_sharded.infer(q)
+    np.testing.assert_allclose(t1, t2, atol=1e-4)
+    np.testing.assert_array_equal(o1, o2)
