@@ -105,7 +105,8 @@ def main():
             ph, pw = args.infer_res_size
             bg_xy = bg_xy * np.asarray([w / pw, h / ph], np.float32)
         homogs = viz.estimate_homographies(bg_xy, bg_occ,
-                                           canonical_frame=args.canonical_frame)
+                                           canonical_frame=args.canonical_frame,
+                                           image_dimensions=(w, h))
         trails = viz.plot_tracks_tails(video_c, tracks_c, occ_c, homogs,
                                        point_size=args.point_size,
                                        linewidth=args.linewidth)

@@ -90,10 +90,23 @@ def filter_bg_trajectories_for_homographies(bg_trajectories: np.ndarray,
 
 def estimate_homographies(bg_tracks: np.ndarray, occluded: np.ndarray,
                           canonical_frame: Optional[int] = None,
-                          ransac_threshold: float = 3.0) -> np.ndarray:
-    """Per-frame homography to the canonical frame from background tracks
-    (RANSAC; reference viz_utils_tapir.py:499-662 implements its own
-    normalized-coordinate RANSAC — we use cv2.findHomography, same role).
+                          ransac_threshold: float = 0.014,
+                          image_dimensions: Optional[Tuple[int, int]] = None,
+                          min_inlier_frac: float = 0.25) -> np.ndarray:
+    """Per-frame homography to the canonical frame from background tracks.
+
+    RANSAC in NORMALIZED [0, 1] coordinates (the reference's own RANSAC
+    rescales for numerical stability, viz_utils_tapir.py:389-441,530-534;
+    its default outlier threshold is 0.07 of the image extent with two
+    refinement passes — cv2.findHomography's LMeDS-polished RANSAC fills
+    the same role here, with a tighter threshold since a single pass does
+    both ransac + refinement). ``ransac_threshold`` is a fraction of the
+    image extent; ``image_dimensions`` is (width, height) (inferred from
+    the track extent when absent).
+
+    Degenerate / low-inlier cases fall back to the previous frame's
+    homography (identity at the start), keeping the trail stabilization
+    finite and continuous instead of snapping through a garbage fit.
 
     Returns T×3×3 with identity at the canonical frame.
     """
@@ -101,19 +114,44 @@ def estimate_homographies(bg_tracks: np.ndarray, occluded: np.ndarray,
     n, t = bg_tracks.shape[:2]
     if canonical_frame is None:
         canonical_frame = t // 2
+    if image_dimensions is None:
+        finite = bg_tracks[~occluded.astype(bool)]
+        upper = finite.max(axis=0) if len(finite) else np.ones(2)
+        image_dimensions = (max(float(upper[0]), 1.0),
+                            max(float(upper[1]), 1.0))
+    wh = np.asarray(image_dimensions, np.float64)
+    s = np.diag([1.0 / wh[0], 1.0 / wh[1], 1.0])
+    s_inv = np.diag([wh[0], wh[1], 1.0])
+
     homogs = np.tile(np.eye(3, dtype=np.float64)[None], (t, 1, 1))
     visible = ~occluded.astype(bool)
-    for f in range(t):
-        if f == canonical_frame:
-            continue
+
+    def fit(f):
         ok = visible[:, f] & visible[:, canonical_frame]
-        src = bg_tracks[ok, f].astype(np.float64)
-        dst = bg_tracks[ok, canonical_frame].astype(np.float64)
-        if len(src) < 8:
-            continue
-        hm, _ = cv2.findHomography(src, dst, cv2.RANSAC, ransac_threshold)
-        if hm is not None:
-            homogs[f] = hm
+        if ok.sum() < 8:
+            return None
+        src = bg_tracks[ok, f].astype(np.float64) / wh
+        dst = bg_tracks[ok, canonical_frame].astype(np.float64) / wh
+        hm, inliers = cv2.findHomography(src, dst, cv2.RANSAC,
+                                         ransac_threshold)
+        if hm is None or not np.isfinite(hm).all():
+            return None
+        if inliers is not None and inliers.sum() < max(
+                8, min_inlier_frac * len(src)):
+            return None
+        return s_inv @ hm @ s
+
+    # sweep outward from the canonical frame so the fallback chains the
+    # nearest successful estimate (reference processes frames after the
+    # reference frame ascending, then before it descending — :556-560)
+    order = list(range(canonical_frame + 1, t)) + \
+        list(range(canonical_frame - 1, -1, -1))
+    for f in order:
+        hm = fit(f)
+        if hm is None:
+            prev = f - 1 if f > canonical_frame else f + 1
+            hm = homogs[prev]
+        homogs[f] = hm
     return homogs
 
 

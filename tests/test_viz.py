@@ -22,6 +22,49 @@ def test_estimate_homographies_recovers_translation():
         np.testing.assert_allclose(pts, base, atol=0.5)
 
 
+def test_estimate_homographies_pan_with_outliers():
+    """Synthetic camera pan with 30% gross outliers (foreground-like
+    motion): RANSAC must recover the pan for the inlier set, and warped
+    inlier points must land back on their canonical positions."""
+    n, t, w, h = 150, 7, 320, 240
+    base = RNG.random((n, 2)).astype(np.float64) * [w * 0.8, h * 0.8] + \
+        [w * 0.1, h * 0.1]
+    shifts = np.stack([np.arange(t) * 8.0, np.arange(t) * 4.0], -1)
+    tracks = base[:, None, :] + shifts[None]
+    # 30% outliers: random independent motion per frame
+    n_out = int(n * 0.3)
+    tracks[:n_out] = RNG.random((n_out, t, 2)) * [w, h]
+    occ = np.zeros((n, t), bool)
+    homogs = viz.estimate_homographies(tracks, occ, canonical_frame=0,
+                                       image_dimensions=(w, h))
+    for f in range(t):
+        pts = viz._apply_homography(tracks[n_out:, f], homogs[f])
+        np.testing.assert_allclose(pts, base[n_out:], atol=1.0,
+                                   err_msg=f"frame {f}")
+
+
+def test_estimate_homographies_low_inlier_fallback():
+    """Frames with too few mutual visible points (or no consensus) must
+    fall back to the nearest successful estimate instead of a garbage fit —
+    the stabilization stays finite and continuous."""
+    n, t = 30, 5
+    base = RNG.random((n, 2)).astype(np.float64) * [300, 200]
+    shifts = np.stack([np.arange(t) * 5.0, np.arange(t) * 0.0], -1)
+    tracks = base[:, None, :] + shifts[None]
+    occ = np.zeros((n, t), bool)
+    occ[:, 3] = True  # frame 3: nothing visible
+    occ[5:, 4] = True  # frame 4: only 5 points (< 8 minimum)
+    homogs = viz.estimate_homographies(tracks, occ, canonical_frame=0,
+                                       image_dimensions=(320, 240))
+    assert np.isfinite(homogs).all()
+    # frames 3 and 4 chain the last good estimate (frame 2's)
+    np.testing.assert_allclose(homogs[3], homogs[2])
+    np.testing.assert_allclose(homogs[4], homogs[3])
+    # frames 1-2 still recover the pan
+    pts = viz._apply_homography(tracks[:, 2], homogs[2])
+    np.testing.assert_allclose(pts, base, atol=0.5)
+
+
 def test_filter_bg_trajectories():
     n, t = 200, 8
     traj = RNG.random((n, t, 2)).astype(np.float32) * 100
