@@ -119,8 +119,13 @@ def main():
     from dino_tracker_tpu.training import train as train_lib
 
     t = 50  # DAVIS-realistic resident frame count
-    tcfg = TrackerConfig()  # 854×476, delta channels (3,64,128,256,1024)
     cfg = TrainConfig()     # full reference hyper-parameters
+    # production tracker config — exactly what DINOTrackerRuntime builds,
+    # incl. the bf16 conv/matmul compute dtype (f32 accumulation)
+    tcfg = TrackerConfig(video_h=cfg.video_resh, video_w=cfg.video_resw,
+                         dino_patch_size=cfg.dino_patch_size, stride=cfg.stride,
+                         delta_channels=(3, 64, 128, 256, cfg.dino_embed_dim),
+                         compute_dtype=cfg.compute_dtype)
     data = synthetic_video_data_on_device(t, tcfg)
     state = train_lib.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
 

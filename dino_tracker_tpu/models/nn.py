@@ -73,7 +73,15 @@ def init_batchnorm(ch: int, gamma: float = 1.0, dtype=jnp.float32):
 def batchnorm(x_nhwc, params, stats, train: bool, momentum: float = 0.1,
               eps: float = 1e-5):
     """torch BatchNorm2d semantics: biased batch var for normalization,
-    unbiased var for the running-stat update. Returns (out, new_stats)."""
+    unbiased var for the running-stat update. Returns (out, new_stats).
+
+    Statistics and the affine transform always compute in f32, but the
+    output is cast back to the INPUT dtype — under bf16 mixed precision
+    this keeps the whole conv→bn→relu→blurpool chain (and, critically, the
+    conv backward cotangents) in bf16 on the MXU instead of silently
+    promoting everything after the first bn to f32.
+    """
+    in_dtype = x_nhwc.dtype
     x_nhwc = x_nhwc.astype(jnp.float32)  # stats and affine always in f32
     if train:
         axes = (0, 1, 2)
@@ -90,7 +98,7 @@ def batchnorm(x_nhwc, params, stats, train: bool, momentum: float = 0.1,
         new_stats = stats
     inv = jax.lax.rsqrt(var + eps)
     out = (x_nhwc - mean) * inv * params["scale"] + params["bias"]
-    return out, new_stats
+    return out.astype(in_dtype), new_stats
 
 
 def blurpool_filter(filt_size: int = 4) -> np.ndarray:
@@ -103,15 +111,16 @@ def blurpool_filter(filt_size: int = 4) -> np.ndarray:
 
 
 def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4):
-    """Anti-aliased downsampling: reflect-pad + depthwise binomial conv.
+    """Anti-aliased downsampling: reflect-pad + depthwise binomial filter.
 
     Matches antialiased_cnns.BlurPool (used by the reference DeltaDINO,
     models/networks/delta_dino.py:44): pad (left, right, top, bottom) =
-    ((f-1)//2, ceil((f-1)/2)) reflect, depthwise conv stride ``stride``.
+    ((f-1)//2, ceil((f-1)/2)) reflect, depthwise stride ``stride``.
 
-    Implemented as a per-channel grouped conv; depthwise convs run on the
-    TPU's VPU, which is fine here (the op is bandwidth-bound and tiny next
-    to the surrounding dense convs).
+    Implemented as a per-channel grouped conv. (A separable strided-slice
+    multiply-add formulation was tried and measured SLOWER inside the full
+    train program on TPU — strided slices along the spatial dims tile worse
+    than the conv emitter's depthwise lowering.)
     """
     c = x_nhwc.shape[-1]
     pl = (filt_size - 1) // 2
