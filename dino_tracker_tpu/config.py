@@ -132,6 +132,10 @@ class PreprocessConfig:
     filter_using_direct_flow: bool = True
     direct_flow_threshold: float = 2.5
     raft_iters: int = 24
+    # bf16 conv/GRU compute for the O(T²) pair sweep; the correlation volume
+    # and flow accumulation stay f32. Default f32 until the parity harness's
+    # EPE gate is run against real weights with bf16 enabled.
+    raft_compute_dtype: str = "float32"
     # DINO embeddings for training & best-buddies
     dino_model_name: str = "dinov2_vitl14"
     dino_facet: str = "tokens"

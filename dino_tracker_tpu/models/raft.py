@@ -45,15 +45,19 @@ CORR_RADIUS = 4
 # ---------------------------------------------------------------------------
 
 def instance_norm(x_nhwc, eps: float = 1e-5):
-    """InstanceNorm2d(affine=False) — per sample, per channel over H, W."""
-    mean = jnp.mean(x_nhwc, axis=(1, 2), keepdims=True)
-    var = jnp.var(x_nhwc, axis=(1, 2), keepdims=True)
-    return (x_nhwc - mean) * jax.lax.rsqrt(var + eps)
+    """InstanceNorm2d(affine=False) — per sample, per channel over H, W.
+    Statistics always in f32 (bf16 mean/var over ~6k positions drifts); the
+    output returns in the input dtype so a bf16 conv chain stays bf16."""
+    x32 = x_nhwc.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x_nhwc.dtype)
 
 
 def batch_norm_eval(x_nhwc, p, eps: float = 1e-5):
-    return ((x_nhwc - p["mean"]) * jax.lax.rsqrt(p["var"] + eps)
-            * p["scale"] + p["bias"])
+    out = ((x_nhwc.astype(jnp.float32) - p["mean"])
+           * jax.lax.rsqrt(p["var"] + eps) * p["scale"] + p["bias"])
+    return out.astype(x_nhwc.dtype)
 
 
 def _norm(x, p, kind: str):
@@ -211,17 +215,19 @@ def _motion_encoder(p, flow_nhwc, corr_nhwc):
 
 
 def _conv_1x5(x, p):
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
-        x, p["w"], (1, 1), [(0, 0), (2, 2)],
+        x, p["w"].astype(x.dtype), (1, 1), [(0, 0), (2, 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32) + p["b"]
+        preferred_element_type=preferred) + p["b"].astype(x.dtype)
 
 
 def _conv_5x1(x, p):
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
-        x, p["w"], (1, 1), [(2, 2), (0, 0)],
+        x, p["w"].astype(x.dtype), (1, 1), [(2, 2), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32) + p["b"]
+        preferred_element_type=preferred) + p["b"].astype(x.dtype)
 
 
 def _sep_conv_gru(p, h, x):
@@ -268,8 +274,8 @@ def _coords_grid(b, h, w):
     return jnp.broadcast_to(grid, (b, 2, h, w))
 
 
-@jax.jit
-def raft_encode(params, images_nchw):
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def raft_encode(params, images_nchw, compute_dtype=jnp.float32):
     """Per-frame encoders, hoisted out of the pair loop.
 
     The reference recomputes fnet+cnet for every one of the O(T²) direct-flow
@@ -279,8 +285,13 @@ def raft_encode(params, images_nchw):
 
     images in [0, 1], N×3×H×W (H, W divisible by 8) ->
     (fmap N×h8×w8×256, net N×h8×w8×128, inp N×h8×w8×128).
+
+    ``compute_dtype=bfloat16`` runs the conv stacks on the MXU in bf16
+    (norm statistics stay f32); validate flow parity with the harness's EPE
+    gate before enabling it against real weights.
     """
     x = jnp.transpose(images_nchw * 2.0 - 1.0, (0, 2, 3, 1))
+    x = x.astype(compute_dtype)
     fmap = _encoder(params["fnet"], x, "instance")
     cnet = _encoder(params["cnet"], x, "batch")
     net = jnp.tanh(cnet[..., :HDIM])
@@ -292,8 +303,13 @@ def raft_encode(params, images_nchw):
 def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
     """Pair-dependent half of RAFT given precomputed per-frame encodings
     (raft_encode): correlation pyramid, ``num_iters`` GRU updates, convex
-    upsampling. Returns flow N×2×H×W in pixels."""
+    upsampling. Returns flow N×2×H×W in pixels (always f32).
+
+    The compute dtype follows the encodings' dtype (raft_encode's
+    ``compute_dtype``); the correlation volume, its lookup, and the flow
+    coordinate accumulation stay f32 in either mode."""
     b, h8, w8, _ = fmap1.shape
+    cdtype = net.dtype
     pyramid = build_corr_pyramid(fmap1, fmap2)
     coords0 = _coords_grid(b, h8, w8)
     up = params["update"]
@@ -302,10 +318,11 @@ def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
         net, coords1 = carry
         corr = corr_lookup(pyramid, coords1)
         flow = jnp.transpose(coords1 - coords0, (0, 2, 3, 1))
-        motion = _motion_encoder(up["enc"], flow, corr)
+        motion = _motion_encoder(up["enc"], flow.astype(cdtype),
+                                 corr.astype(cdtype))
         new_net = _sep_conv_gru(up["gru"], net,
                                 jnp.concatenate([inp, motion], axis=-1))
-        delta = _flow_head(up["flow_head"], new_net)
+        delta = _flow_head(up["flow_head"], new_net).astype(jnp.float32)
         coords1 = coords1 + jnp.transpose(delta, (0, 3, 1, 2))
         return (new_net, coords1), None
 
@@ -314,20 +331,23 @@ def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
     flow_coarse = jnp.transpose(coords1 - coords0, (0, 2, 3, 1))
     mask = conv2d(jax.nn.relu(conv2d(net, up["mask"]["conv1"], padding=1)),
                   up["mask"]["conv2"]) * 0.25
-    flow_up = convex_upsample(flow_coarse, mask)
+    flow_up = convex_upsample(flow_coarse, mask.astype(jnp.float32))
     return jnp.transpose(flow_up, (0, 3, 1, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
-def raft_forward(params, image1_nchw, image2_nchw, num_iters: int = 24):
+@functools.partial(jax.jit, static_argnames=("num_iters", "compute_dtype"))
+def raft_forward(params, image1_nchw, image2_nchw, num_iters: int = 24,
+                 compute_dtype=jnp.float32):
     """Images in [0, 1], H/W divisible by 8 -> flow N×2×H×W (pixels).
 
     Matches RAFT inference: inputs scaled to [-1, 1], zero-init flow at 1/8
     resolution, ``num_iters`` GRU updates, convex upsampling of the final
     flow only (the reference consumes predictions[-1]).
     """
-    fmap1, net, inp = raft_encode(params, image1_nchw)
-    fmap2, _, _ = raft_encode(params, image2_nchw)
+    fmap1, net, inp = raft_encode(params, image1_nchw,
+                                  compute_dtype=compute_dtype)
+    fmap2, _, _ = raft_encode(params, image2_nchw,
+                              compute_dtype=compute_dtype)
     return raft_decode(params, fmap1, fmap2, net, inp, num_iters=num_iters)
 
 

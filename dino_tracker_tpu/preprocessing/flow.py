@@ -36,6 +36,7 @@ class RaftFlowEngine:
     pair_batch: int = 8
     encode_batch: int = 8
     mesh: Optional[object] = None  # jax.sharding.Mesh: shard pair/frame axes
+    compute_dtype: object = jnp.float32  # bf16 convs/GRU (corr + flow stay f32)
 
     def __post_init__(self):
         self.t, _, self.h, self.w = self.video_tchw.shape
@@ -43,6 +44,8 @@ class RaftFlowEngine:
         self._padded = np.asarray(self.padder.pad(jnp.asarray(self.video_tchw)))
         self._enc = None  # lazy (fmap, net, inp), device-resident, T leading
         self._decode_jit = None  # cached jitted gather+decode
+        self._direct_jit = None  # cached jitted fwd+bwd decode + cycle mask
+        self._adj = None  # cached adjacent flows (both trajectory passes use them)
 
     def _encodings(self):
         """Per-frame encoder outputs for ALL frames, computed once (O(T))."""
@@ -51,11 +54,14 @@ class RaftFlowEngine:
         mesh = self.mesh
         n_dev = mesh.devices.size if mesh is not None else 1
 
+        cdtype = self.compute_dtype
+
         @jax.jit
         def encode(params, frames):
             frames = constrain_batch(frames, mesh)
-            return jax.tree.map(lambda x: constrain_batch(x, mesh),
-                                raft.raft_encode(params, frames))
+            return jax.tree.map(
+                lambda x: constrain_batch(x, mesh),
+                raft.raft_encode(params, frames, compute_dtype=cdtype))
 
         def run(frames):
             if mesh is not None:
@@ -98,14 +104,16 @@ class RaftFlowEngine:
                                         idx_a, idx_b)
         return self._decode_jit(self.params, fmaps, nets, inps, idx_a, idx_b)
 
-    def _run_pairs(self, idx_a: np.ndarray, idx_b: np.ndarray) -> np.ndarray:
-        """Flow a→b for index arrays; returns N×2×h×w (unpadded)."""
+    def _run_pairs(self, idx_a: np.ndarray, idx_b: np.ndarray) -> jnp.ndarray:
+        """Flow a→b for index arrays; returns N×2×h×w (unpadded), DEVICE
+        resident (full-res flow fields are ~13 MB/pair — downstream consumers
+        are all on-device, so they never cross the host link)."""
         fmaps, nets, inps = self._encodings()
         n = len(idx_a)
-        out = np.zeros((n, 2, self.h, self.w), np.float32)
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         bsz = max(self.pair_batch, n_dev)
         bsz -= bsz % n_dev
+        chunks = []
         for s in range(0, n, bsz):
             e = min(s + bsz, n)
             ia = pad_to_multiple(idx_a[s:e].astype(np.int32), bsz)
@@ -114,51 +122,134 @@ class RaftFlowEngine:
                 lambda: self._decode_batch(fmaps, nets, inps,
                                            jnp.asarray(ia), jnp.asarray(ib)),
                 what="raft pair batch")
-            flow = self.padder.unpad(flow)
-            out[s:e] = np.asarray(flow)[: e - s]
-        return out
+            chunks.append(self.padder.unpad(flow)[: e - s])
+        return jnp.concatenate(chunks, axis=0)
 
     def adjacent_flows(self, progress: bool = False
-                       ) -> Tuple[np.ndarray, np.ndarray]:
-        """((t-1)×2×h×w fwd i→i+1, bwd i+1→i)."""
-        idx = np.arange(self.t - 1)
-        fwd = self._run_pairs(idx, idx + 1)
-        bwd = self._run_pairs(idx + 1, idx)
-        return fwd, bwd
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """((t-1)×2×h×w fwd i→i+1, bwd i+1→i), device-resident. Cached: both
+        the filtered and the unfiltered trajectory passes consume them."""
+        if self._adj is None:
+            idx = np.arange(self.t - 1)
+            fwd = self._run_pairs(idx, idx + 1)
+            bwd = self._run_pairs(idx + 1, idx)
+            self._adj = (fwd, bwd)
+        return self._adj
+
+    def _direct_batch(self, fmaps, nets, inps, idx_a, idx_b, threshold):
+        """Jitted fwd+bwd decode + cycle-consistency mask for one pair batch.
+
+        Everything stays on device: the naive split (decode → host → re-upload
+        → mask) shuttles ~900 MB of full-res flow fields over the host link
+        per start frame on a 50-frame video — the measured preprocessing
+        dominator (~300 s/start-frame through the TPU relay, i.e. hours per
+        video). Fused + device-resident, only the (already tiny) chained
+        trajectories ever leave the device."""
+        mesh = self.mesh
+        if self._direct_jit is None:
+            l, r, tp, bp = self.padder._pad
+            h, w = self.h, self.w
+
+            def unpad(x):
+                hp, wp = x.shape[-2:]
+                return x[..., tp:hp - bp, l:wp - r]
+
+            def fn(params, fmaps, nets, inps, ia, ib, thresh):
+                def dec(i1, i2):
+                    f1 = constrain_batch(jnp.take(fmaps, i1, axis=0), mesh)
+                    f2 = constrain_batch(jnp.take(fmaps, i2, axis=0), mesh)
+                    net = constrain_batch(jnp.take(nets, i1, axis=0), mesh)
+                    inp = constrain_batch(jnp.take(inps, i1, axis=0), mesh)
+                    return constrain_batch(
+                        raft.raft_decode(params, f1, f2, net, inp,
+                                         num_iters=self.num_iters), mesh)
+
+                fwd = unpad(dec(ia, ib))  # n×2×h×w (source-frame grid)
+                bwd = unpad(dec(ib, ia))
+                ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                      jnp.arange(w, dtype=jnp.float32),
+                                      indexing="ij")
+                coords = jnp.stack([xs, ys], axis=-1)[None]  # 1×h×w×2
+                coords1 = coords + jnp.transpose(fwd, (0, 2, 3, 1))
+                warped_b = bilinear_sampler_pixel(bwd, coords1)
+                coords2 = coords1 + jnp.transpose(warped_b, (0, 2, 3, 1))
+                err = jnp.linalg.norm(coords - coords2, axis=-1)
+                upper = jnp.asarray([w - 1.0, h - 1.0])
+                in_b = jnp.all((coords1 >= 0) & (coords1 <= upper), axis=-1)
+                mask = ((err < thresh) & in_b).astype(jnp.float32)
+                dflows = jnp.transpose(fwd, (0, 2, 3, 1))  # n×h×w×2
+                return constrain_batch(dflows, mesh), constrain_batch(mask, mesh)
+
+            self._direct_jit = jax.jit(fn)
+        if mesh is not None:
+            with mesh:
+                return self._direct_jit(self.params, fmaps, nets, inps,
+                                        idx_a, idx_b, threshold)
+        return self._direct_jit(self.params, fmaps, nets, inps, idx_a, idx_b,
+                                threshold)
 
     def direct_flows(self, start: int, threshold: float
-                     ) -> Tuple[np.ndarray, np.ndarray]:
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Direct flow start→f for all f>start + fwd/bwd cycle masks
-        (reference :99-160). Returns ((n)×h×w×2 flows, (n)×h×w masks)."""
+        (reference :99-160). Returns DEVICE arrays padded to the full frame
+        count — ((t-1)×h×w×2 flows, (t-1)×h×w masks); rows ≥ t-1-start are
+        zero. Downstream chaining consumes these on device directly."""
+        fmaps, nets, inps = self._encodings()
         targets = np.arange(start + 1, self.t)
         src = np.full_like(targets, start)
-        fwd = self._run_pairs(src, targets)   # n×2×h×w
-        bwd = self._run_pairs(targets, src)
-        return compute_direct_flow_masks(fwd, bwd, threshold)
+        n = len(targets)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        bsz = max(self.pair_batch, n_dev)
+        bsz -= bsz % n_dev
+        thresh = jnp.asarray(threshold, jnp.float32)
+        flow_chunks, mask_chunks = [], []
+        for s in range(0, n, bsz):
+            e = min(s + bsz, n)
+            ia = pad_to_multiple(src[s:e].astype(np.int32), bsz)
+            ib = pad_to_multiple(targets[s:e].astype(np.int32), bsz)
+            dflows, masks = retry_transient(
+                lambda: self._direct_batch(fmaps, nets, inps,
+                                           jnp.asarray(ia), jnp.asarray(ib),
+                                           thresh),
+                what="raft direct pair batch")
+            flow_chunks.append(dflows[: e - s])
+            mask_chunks.append(masks[: e - s])
+        tm1 = self.t - 1
+        pad_rows = tm1 - n
+        if pad_rows:
+            flow_chunks.append(jnp.zeros((pad_rows, self.h, self.w, 2),
+                                         jnp.float32))
+            mask_chunks.append(jnp.zeros((pad_rows, self.h, self.w),
+                                         jnp.float32))
+        return (jnp.concatenate(flow_chunks, axis=0),
+                jnp.concatenate(mask_chunks, axis=0))
+
+
+@jax.jit
+def _cycle_masks_batched(fwd_n2hw, bwd_n2hw, threshold):
+    """Warp forward, sample the backward flow at the warped position, require
+    return within ``threshold`` and the warped point in bounds
+    (reference :143-160). Batched over the pair axis, device-resident."""
+    n, _, h, w = fwd_n2hw.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = jnp.stack([xs, ys], axis=-1)[None]  # 1×h×w×2
+    coords1 = coords + jnp.transpose(fwd_n2hw, (0, 2, 3, 1))
+    warped_b = bilinear_sampler_pixel(bwd_n2hw, coords1)
+    coords2 = coords1 + jnp.transpose(warped_b, (0, 2, 3, 1))
+    err = jnp.linalg.norm(coords - coords2, axis=-1)
+    upper = jnp.asarray([w - 1.0, h - 1.0])
+    in_b = jnp.all((coords1 >= 0) & (coords1 <= upper), axis=-1)
+    return (err < threshold) & in_b
 
 
 def compute_direct_flow_masks(fwd_n2hw: np.ndarray, bwd_n2hw: np.ndarray,
                               threshold: float) -> Tuple[np.ndarray, np.ndarray]:
-    """Cycle-check direct flows: warp forward, sample the backward flow at
-    the warped position, require return within ``threshold`` and the warped
-    point in bounds (reference :143-160)."""
-    n, _, h, w = fwd_n2hw.shape
-    fwd = jnp.asarray(fwd_n2hw)
-    bwd = jnp.asarray(bwd_n2hw)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    coords = jnp.stack([xs, ys], axis=-1)[None]  # 1×h×w×2
-
-    @jax.jit
-    def per_pair(f, b):
-        coords1 = coords + jnp.transpose(f, (1, 2, 0))[None]
-        warped_b = bilinear_sampler_pixel(b[None], coords1)
-        coords2 = coords1 + jnp.transpose(warped_b[0], (1, 2, 0))[None]
-        err = jnp.linalg.norm(coords - coords2, axis=-1)[0]
-        upper = jnp.asarray([w - 1.0, h - 1.0])
-        in_b = jnp.all((coords1[0] >= 0) & (coords1[0] <= upper), axis=-1)
-        return (err < threshold) & in_b
-
-    masks = np.stack([np.asarray(per_pair(fwd[i], bwd[i])) for i in range(n)])
+    """Host-array convenience wrapper around ``_cycle_masks_batched``
+    (tests / alternate flow engines; the production sweep fuses this into
+    ``RaftFlowEngine._direct_batch`` and never leaves the device)."""
+    masks = np.asarray(_cycle_masks_batched(
+        jnp.asarray(fwd_n2hw), jnp.asarray(bwd_n2hw),
+        jnp.asarray(threshold, jnp.float32)))
     dflows = np.transpose(fwd_n2hw, (0, 2, 3, 1))
     return dflows, masks.astype(np.float32)

@@ -70,9 +70,10 @@ class PreprocessingPipeline:
     def flow_engine(self) -> RaftFlowEngine:
         if self._engine is None:
             assert self.raft_params is not None, "RAFT weights required"
-            self._engine = RaftFlowEngine(self.raft_params, self.video,
-                                          num_iters=self.cfg.raft_iters,
-                                          mesh=self.mesh)
+            self._engine = RaftFlowEngine(
+                self.raft_params, self.video, num_iters=self.cfg.raft_iters,
+                mesh=self.mesh,
+                compute_dtype=jnp.dtype(self.cfg.raft_compute_dtype))
         return self._engine
 
     # -- stages -----------------------------------------------------------

@@ -131,6 +131,22 @@ def _chain_from_start(flows_fwd, flows_bwd, start_mask, start_frame,
     return timeline
 
 
+@functools.partial(jax.jit, static_argnames=("min_len",))
+def _keep_mask(timeline_thw2, min_len: int):
+    """h·w bool: pixels whose trajectory survives ≥ min_len frames."""
+    valid = ~jnp.isnan(timeline_thw2).any(axis=-1)  # t×h×w
+    return valid.sum(axis=0) >= min_len
+
+
+@jax.jit
+def _gather_columns(timeline_thw2, idx_flat):
+    """t×(hw)×2 gather of kept pixel columns (idx padded to a fixed bucket
+    size so at most a handful of shapes ever compile)."""
+    t = timeline_thw2.shape[0]
+    flat = timeline_thw2.reshape(t, -1, 2)
+    return jnp.take(flat, idx_flat, axis=1)
+
+
 def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
                          threshold: float = 1.5,
                          min_trajectory_length: int = 2,
@@ -164,31 +180,44 @@ def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
             start_mask = start_mask | ~occupied[start]
 
         if use_direct:
-            dflows_np, dmasks_np = direct_flow_fn(start)
-            dflows = np.zeros((tm1, h, w, 2), np.float32)
-            dmasks = np.zeros((tm1, h, w), np.float32)
-            n = dflows_np.shape[0]
-            dflows[:n] = dflows_np
-            dmasks[:n] = dmasks_np
+            # RaftFlowEngine.direct_flows returns DEVICE arrays already
+            # padded to tm1 rows (zeros beyond t-1-start) so the whole
+            # direct-flow sweep stays on device; ragged host arrays (tests,
+            # alternate engines) are padded here.
+            dflows_in, dmasks_in = direct_flow_fn(start)
+            n = dflows_in.shape[0]
+            if n == tm1:
+                dflows, dmasks = jnp.asarray(dflows_in), jnp.asarray(dmasks_in)
+            else:
+                dflows = jnp.zeros((tm1, h, w, 2), jnp.float32
+                                   ).at[:n].set(jnp.asarray(dflows_in))
+                dmasks = jnp.zeros((tm1, h, w), jnp.float32
+                                   ).at[:n].set(jnp.asarray(dmasks_in))
         else:
-            dflows = np.zeros((tm1, h, w, 2), np.float32)
-            dmasks = np.zeros((tm1, h, w), np.float32)
+            dflows = jnp.zeros((tm1, h, w, 2), jnp.float32)
+            dmasks = jnp.zeros((tm1, h, w), jnp.float32)
 
         timeline = _chain_from_start(
             flows_fwd, flows_bwd, jnp.asarray(start_mask),
-            jnp.asarray(start, jnp.int32), jnp.asarray(dflows),
-            jnp.asarray(dmasks), threshold=threshold, use_direct=use_direct,
+            jnp.asarray(start, jnp.int32), dflows, dmasks,
+            threshold=threshold, use_direct=use_direct,
             direct_threshold=direct_flow_threshold)
-        timeline = np.asarray(timeline)  # t×h×w×2
 
-        valid = ~np.isnan(timeline).any(axis=-1)  # t×h×w
-        life = valid.sum(axis=0)  # h×w
-        keep = life >= min_trajectory_length  # h×w
-        if keep.any():
-            trajs = timeline[:, keep, :]  # t×K×2
+        # Ragged assembly: the keep decision runs on device and only the
+        # kept columns are fetched (the full t×h×w×2 timeline is ~160 MB at
+        # DAVIS scale × one per start frame — a host-link dominator).
+        keep = np.asarray(_keep_mask(timeline, min_trajectory_length))  # h×w
+        ki = np.flatnonzero(keep.ravel())
+        if ki.size:
+            # pad the gather to power-of-two buckets: bounded compile count
+            cap = max(1024, 1 << int(np.ceil(np.log2(ki.size))))
+            idx = np.zeros(min(cap, h * w), np.int32)
+            idx[: ki.size] = ki
+            trajs = np.asarray(_gather_columns(timeline, jnp.asarray(idx)))
+            trajs = trajs[:, : ki.size, :]  # t×K×2
             collected.append(np.transpose(trajs, (1, 0, 2)).astype(np.float32))
             if look_behind:
-                kept_valid = valid[:, keep]  # t×K
+                kept_valid = ~np.isnan(trajs).any(axis=-1)  # t×K
                 coords = np.round(np.nan_to_num(trajs)).astype(np.int64)
                 xi = np.clip(coords[..., 0], 0, w - 1)
                 yi = np.clip(coords[..., 1], 0, h - 1)

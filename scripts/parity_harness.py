@@ -82,13 +82,17 @@ def feature_parity(video, vit_params, vit_cfg, cfg, torch_features_path,
 
 def flow_parity(video, raft_params, cfg, torch_flows_path,
                 max_epe: float) -> dict:
+    import jax.numpy as jnp
     import numpy as np
     from dino_tracker_tpu.preprocessing.flow import RaftFlowEngine
 
     with np.load(torch_flows_path) as f:
         ref = f["flows"]  # (T-1)×2×H×W
+    # runs at the configured raft_compute_dtype: setting bfloat16 in the
+    # preprocessing yaml turns this gate into the bf16-vs-torch EPE check
     eng = RaftFlowEngine(raft_params, video[: ref.shape[0] + 1],
-                         num_iters=cfg.raft_iters)
+                         num_iters=cfg.raft_iters,
+                         compute_dtype=jnp.dtype(cfg.raft_compute_dtype))
     fwd, _ = eng.adjacent_flows()
     epe = np.linalg.norm(fwd - ref, axis=1)  # (T-1)×H×W
     return {"stage": "flow_parity", "mean_epe": float(epe.mean()),

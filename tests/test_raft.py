@@ -229,3 +229,59 @@ def test_raft_converter_roundtrip():
     a = raft.raft_forward(params, img1, img2, num_iters=2)
     b = raft.raft_forward(converted, img1, img2, num_iters=2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_raft_bf16_compute_close_to_f32():
+    """The opt-in bf16 path (convs/GRU in bf16, corr volume + coordinate
+    accumulation in f32) must stay within a fraction of a pixel of the f32
+    flow and emit f32 outputs."""
+    params = raft.init_raft(jax.random.PRNGKey(7))
+    img1 = jnp.asarray(RNG.random((1, 3, 64, 80), dtype=np.float32))
+    img2 = jnp.asarray(RNG.random((1, 3, 64, 80), dtype=np.float32))
+    f32 = raft.raft_forward(params, img1, img2, num_iters=4)
+    bf16 = raft.raft_forward(params, img1, img2, num_iters=4,
+                             compute_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    err = np.linalg.norm(np.asarray(f32) - np.asarray(bf16), axis=1)
+    assert np.isfinite(np.asarray(bf16)).all()
+    # random weights produce sub-pixel flows; bf16 noise must stay well
+    # below the pipeline's cycle-consistency threshold (1.5 px)
+    assert float(err.mean()) < 0.15, float(err.mean())
+
+
+def test_flow_engine_bf16_plumbing():
+    from dino_tracker_tpu.preprocessing.flow import RaftFlowEngine
+
+    params = raft.init_raft(jax.random.PRNGKey(9))
+    video = RNG.random((3, 3, 30, 41)).astype(np.float32)
+    eng = RaftFlowEngine(params, video, num_iters=2,
+                         compute_dtype=jnp.bfloat16)
+    fwd, bwd = eng.adjacent_flows()
+    assert fwd.shape == (2, 2, 30, 41) and np.isfinite(fwd).all()
+    ref = RaftFlowEngine(params, video, num_iters=2).adjacent_flows()[0]
+    assert float(np.abs(fwd - ref).mean()) < 0.15
+
+
+def test_direct_flows_fused_matches_legacy_path():
+    """The device-resident fused sweep (decode fwd+bwd + cycle mask in one
+    jitted batch) must equal running _run_pairs + compute_direct_flow_masks
+    separately, and come back padded to t-1 rows."""
+    from dino_tracker_tpu.preprocessing.flow import (
+        RaftFlowEngine, compute_direct_flow_masks)
+
+    params = raft.init_raft(jax.random.PRNGKey(5))
+    t, h, w = 5, 30, 41
+    video = RNG.random((t, 3, h, w)).astype(np.float32)
+    eng = RaftFlowEngine(params, video, num_iters=2, pair_batch=2)
+    start, threshold = 1, 5.0
+    dflows, dmasks = eng.direct_flows(start, threshold)
+    assert dflows.shape == (t - 1, h, w, 2)
+    assert dmasks.shape == (t - 1, h, w)
+    n = t - 1 - start
+    targets = np.arange(start + 1, t)
+    fwd = np.asarray(eng._run_pairs(np.full_like(targets, start), targets))
+    bwd = np.asarray(eng._run_pairs(targets, np.full_like(targets, start)))
+    ref_flows, ref_masks = compute_direct_flow_masks(fwd, bwd, threshold)
+    np.testing.assert_allclose(np.asarray(dflows)[:n], ref_flows, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dmasks)[:n], ref_masks)
+    assert not np.asarray(dflows)[n:].any()
