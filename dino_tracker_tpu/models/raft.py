@@ -172,31 +172,85 @@ def build_corr_pyramid(fmap1_nhwc, fmap2_nhwc):
     return pyramid
 
 
+def _window_patches(volp, sy, sx, side: int):
+    """Per-row contiguous window extraction, routed by backend: the Pallas
+    DMA kernel on TPU (ops/window_gather.py), vmapped dynamic_slice
+    elsewhere (XLA's TPU lowering of the same gather is the measured
+    raft_decode dominator)."""
+    from ..ops.window_gather import window_gather, window_gather_reference
+    if jax.default_backend() == "tpu":
+        return window_gather(volp, sy, sx, side=side)
+    return window_gather_reference(volp, sy, sx, side=side)
+
+
 def corr_lookup(pyramid, coords_b2hw):
-    """Sample 9×9 windows at coords/2^l per level -> B×(4·81)×h×w."""
+    """Sample 9×9 windows at coords/2^l per level -> B×(4·81)×h×w.
+
+    TPU formulation: the naive per-tap gather (81 taps × 4 bilinear corners
+    × 4 levels of scalar gathers) is the measured decode dominator — XLA
+    emits scalar-gather fusions running at ~1 GiB/s, ~95% of raft_decode
+    wall clock. Since all 81 window taps share one fractional offset, we
+    instead extract ONE contiguous (2r+2)² patch per source pixel with a
+    vmapped ``dynamic_slice`` from a zero-padded volume and combine the four
+    integer-shifted sub-patches with the shared bilinear weights —
+    numerically identical to grid_sample(zeros padding), but the memory
+    access is 100-element contiguous blocks instead of scattered scalars.
+
+    Window-channel layout matches princeton-vl/torchvision: channel
+    k = i*9+j samples (x + d[i], y + d[j]) — the delta grid's FIRST meshgrid
+    axis is the x offset; trained motion-encoder weights expect exactly this
+    (transposed-looking) layout, hence the patch transpose below.
+    """
     b2, _, h, w = coords_b2hw.shape
     coords = jnp.transpose(coords_b2hw, (0, 2, 3, 1))  # B×h×w×2
     r = CORR_RADIUS
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    # princeton-vl/torchvision convention: delta = stack(meshgrid(dy, dx))
-    # with the FIRST meshgrid output used as the x offset — window channel
-    # k = i*9+j samples (x + d[i], y + d[j]); trained motion-encoder weights
-    # expect exactly this (transposed-looking) layout
-    di, dj = jnp.meshgrid(d, d, indexing="ij")
-    delta = jnp.stack([di, dj], axis=-1).reshape(-1, 2)  # 81×2 (x_off, y_off)
+    side = 2 * r + 2  # 10: 9×9 window + 1 for the bilinear +1 shift
+    pad = 2 * r + 2   # keeps fully-outside (all-zero) windows inside the pad
 
     out = []
     for lvl, vol in enumerate(pyramid):
         hl, wl = vol.shape[-2:]
-        centroid = coords.reshape(b2 * h * w, 1, 2) / (2 ** lvl)
-        pts = centroid + delta[None]  # (Bhw)×81×2
-        # size-1 levels (tiny inputs only): every sample maps to the center
-        gx = 2 * pts[..., 0] / (wl - 1) - 1 if wl > 1 else jnp.zeros_like(pts[..., 0])
-        gy = 2 * pts[..., 1] / (hl - 1) - 1 if hl > 1 else jnp.zeros_like(pts[..., 1])
-        grid = jnp.stack([gx, gy], axis=-1)[:, None]  # (Bhw)×1×81×2
-        sampled = grid_sample_nchw(vol, grid, align_corners=True,
-                                   padding_mode="zeros")  # (Bhw)×1×1×81
-        out.append(sampled.reshape(b2, h, w, -1))
+        n = vol.shape[0]
+        if hl < 2 or wl < 2:
+            # degenerate tiny level (tests only): keep the reference tap path
+            d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+            di, dj = jnp.meshgrid(d, d, indexing="ij")
+            delta = jnp.stack([di, dj], axis=-1).reshape(-1, 2)
+            centroid = coords.reshape(b2 * h * w, 1, 2) / (2 ** lvl)
+            pts = centroid + delta[None]
+            gx = (2 * pts[..., 0] / (wl - 1) - 1 if wl > 1
+                  else jnp.zeros_like(pts[..., 0]))
+            gy = (2 * pts[..., 1] / (hl - 1) - 1 if hl > 1
+                  else jnp.zeros_like(pts[..., 1]))
+            grid = jnp.stack([gx, gy], axis=-1)[:, None]
+            sampled = grid_sample_nchw(vol, grid, align_corners=True,
+                                       padding_mode="zeros")
+            out.append(sampled.reshape(b2, h, w, -1))
+            continue
+
+        volp = jnp.pad(vol.reshape(n, hl, wl),
+                       ((0, 0), (pad, pad), (pad, pad)))
+        c = coords.reshape(-1, 2) / (2 ** lvl)  # (N, 2) pixel (x, y)
+        # clamp just past the all-outside boundary: windows beyond it read
+        # only zero padding, matching grid_sample zeros semantics exactly
+        cx = jnp.clip(c[:, 0], -(r + 1.0), wl - 1 + r + 1.0)
+        cy = jnp.clip(c[:, 1], -(r + 1.0), hl - 1 + r + 1.0)
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0).astype(vol.dtype)
+        fy = (cy - y0).astype(vol.dtype)
+        sx = (x0 - r + pad).astype(jnp.int32)
+        sy = (y0 - r + pad).astype(jnp.int32)
+        patch = _window_patches(volp, sy, sx, side)  # N×10×10 (y, x) taps
+        w00 = ((1 - fy) * (1 - fx))[:, None, None]
+        w01 = ((1 - fy) * fx)[:, None, None]
+        w10 = (fy * (1 - fx))[:, None, None]
+        w11 = (fy * fx)[:, None, None]
+        win = (w00 * patch[:, :-1, :-1] + w01 * patch[:, :-1, 1:]
+               + w10 * patch[:, 1:, :-1] + w11 * patch[:, 1:, 1:])
+        # win[dy, dx] -> channel layout (dx major): transpose to (dx, dy)
+        win = jnp.transpose(win, (0, 2, 1)).reshape(b2, h, w, -1)
+        out.append(win)
     return jnp.concatenate(out, axis=-1)  # B×h×w×324
 
 
@@ -204,14 +258,72 @@ def corr_lookup(pyramid, coords_b2hw):
 # update block
 # ---------------------------------------------------------------------------
 
+_LANE = 128
+
+
+def _ceil_lane(n: int) -> int:
+    return -(-n // _LANE) * _LANE
+
+
+def _pad_ch(x, target: int):
+    """Zero-pad the trailing (channel) axis to ``target``."""
+    c = x.shape[-1]
+    if c == target:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, target - c)])
+
+
+def _conv_lane(x, p, padding: int = 0):
+    """Conv with in/out channels zero-padded to multiples of the 128-wide
+    vector lane. Exact: padded input channels are zeros (contribute nothing),
+    padded output channels carry zero weights and bias.
+
+    Measured on TPU v5e: convs whose channel counts are off the 128 lane
+    (RAFT's 324/192/126/64-channel update block) lower ~50-100× below MXU
+    rate, while 128-multiples run at full speed — this padding is what makes
+    the per-pair GRU recurrence MXU-bound instead of layout-bound."""
+    w, b = p["w"], p["b"]
+    cin, cout = w.shape[2], w.shape[3]
+    cin_p, cout_p = _ceil_lane(cin), _ceil_lane(cout)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+    b = _pad_ch(b, cout_p)
+    x = _pad_ch(x, cin_p)
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred)
+    return out + b.astype(out.dtype)
+
+
 def _motion_encoder(p, flow_nhwc, corr_nhwc):
-    cor = jax.nn.relu(conv2d(corr_nhwc, p["convc1"]))
-    cor = jax.nn.relu(conv2d(cor, p["convc2"], padding=1))
-    flo = jax.nn.relu(conv2d(flow_nhwc, p["convf1"], padding=3))
-    flo = jax.nn.relu(conv2d(flo, p["convf2"], padding=1))
-    out = jax.nn.relu(conv2d(jnp.concatenate([cor, flo], -1), p["conv"],
-                             padding=1))
-    return jnp.concatenate([out, flow_nhwc], axis=-1)  # 128
+    """Motion encoder with every conv lane-aligned. Activations stay padded
+    between convs (zero channels flow through relu as zeros); downstream
+    weights are rearranged so real channels line up with where the padded
+    concat puts them."""
+    cor = jax.nn.relu(_conv_lane(corr_nhwc, p["convc1"]))  # 256
+    cor = jax.nn.relu(_conv_lane(cor, p["convc2"], padding=1))  # 192→256pad
+    # convf1 (7×7, 2→128): a 2-channel NHWC input wastes 126/128 lanes; use
+    # extracted patches + a lane-aligned 1×1 contraction instead (98→128)
+    patches = jax.lax.conv_general_dilated_patches(
+        flow_nhwc, (7, 7), (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # N×H×W×98
+    wf1 = p["convf1"]["w"]  # 7×7×2×128 (HWIO)
+    # patches channel order is (c, kh, kw) — torch unfold layout; match it
+    wf1_flat = jnp.transpose(wf1, (2, 0, 1, 3)).reshape(-1, wf1.shape[3])
+    flo = jax.nn.relu(
+        _conv_lane(patches, {"w": wf1_flat[None, None], "b": p["convf1"]["b"]}))
+    flo = jax.nn.relu(_conv_lane(flo, p["convf2"], padding=1))  # 64→128pad
+    # original: conv(3×3, concat[cor 192, flo 64] = 256 → 126). With padded
+    # activations the real channels sit at [0:192] and [256:320] of a 384-ch
+    # concat; scatter the weight rows to match (zeros elsewhere — exact).
+    wc = p["conv"]["w"]  # 3×3×256×126
+    w384 = jnp.zeros((3, 3, 384, wc.shape[3]), wc.dtype)
+    w384 = w384.at[:, :, 0:192].set(wc[:, :, 0:192])
+    w384 = w384.at[:, :, 256:320].set(wc[:, :, 192:256])
+    out = jax.nn.relu(_conv_lane(jnp.concatenate([cor, flo], -1),
+                                 {"w": w384, "b": p["conv"]["b"]}, padding=1))
+    return jnp.concatenate([out[..., :126], flow_nhwc], axis=-1)  # 128
 
 
 def _conv_1x5(x, p):
@@ -244,8 +356,9 @@ def _sep_conv_gru(p, h, x):
 
 
 def _flow_head(p, h):
-    return conv2d(jax.nn.relu(conv2d(h, p["conv1"], padding=1)), p["conv2"],
-                  padding=1)
+    out = _conv_lane(jax.nn.relu(_conv_lane(h, p["conv1"], padding=1)),
+                     p["conv2"], padding=1)
+    return out[..., :2]
 
 
 def convex_upsample(flow_nhwc, mask_nhwc):
@@ -329,8 +442,9 @@ def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
     (net, coords1), _ = jax.lax.scan(step, (net, coords0), None,
                                      length=num_iters)
     flow_coarse = jnp.transpose(coords1 - coords0, (0, 2, 3, 1))
-    mask = conv2d(jax.nn.relu(conv2d(net, up["mask"]["conv1"], padding=1)),
-                  up["mask"]["conv2"]) * 0.25
+    mask = _conv_lane(jax.nn.relu(_conv_lane(net, up["mask"]["conv1"],
+                                             padding=1)),
+                      up["mask"]["conv2"])[..., : 64 * 9] * 0.25
     flow_up = convex_upsample(flow_coarse, mask.astype(jnp.float32))
     return jnp.transpose(flow_up, (0, 3, 1, 2))
 

@@ -285,3 +285,37 @@ def test_direct_flows_fused_matches_legacy_path():
     np.testing.assert_allclose(np.asarray(dflows)[:n], ref_flows, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(dmasks)[:n], ref_masks)
     assert not np.asarray(dflows)[n:].any()
+
+
+def test_lane_padded_update_block_exact():
+    """The lane-aligned motion encoder / flow head / mask head (channels
+    zero-padded to 128 multiples, convf1 as extracted patches) must be
+    numerically identical to the naive conv composition."""
+    from dino_tracker_tpu.models.nn import conv2d
+
+    params = raft.init_raft(jax.random.PRNGKey(11))
+    up = params["update"]
+    b, h, w = 2, 12, 10
+    flow = jnp.asarray(RNG.standard_normal((b, h, w, 2)).astype(np.float32))
+    corr = jnp.asarray(RNG.standard_normal((b, h, w, 324)).astype(np.float32))
+
+    def naive_motion(p, flow_nhwc, corr_nhwc):
+        cor = jax.nn.relu(conv2d(corr_nhwc, p["convc1"]))
+        cor = jax.nn.relu(conv2d(cor, p["convc2"], padding=1))
+        flo = jax.nn.relu(conv2d(flow_nhwc, p["convf1"], padding=3))
+        flo = jax.nn.relu(conv2d(flo, p["convf2"], padding=1))
+        out = jax.nn.relu(conv2d(jnp.concatenate([cor, flo], -1), p["conv"],
+                                 padding=1))
+        return jnp.concatenate([out, flow_nhwc], axis=-1)
+
+    ours = raft._motion_encoder(up["enc"], flow, corr)
+    ref = naive_motion(up["enc"], flow, corr)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    net = jnp.asarray(RNG.standard_normal((b, h, w, 128)).astype(np.float32))
+    ours_fh = raft._flow_head(up["flow_head"], net)
+    ref_fh = conv2d(jax.nn.relu(conv2d(net, up["flow_head"]["conv1"],
+                                       padding=1)),
+                    up["flow_head"]["conv2"], padding=1)
+    np.testing.assert_allclose(np.asarray(ours_fh), np.asarray(ref_fh),
+                               atol=2e-5)
