@@ -57,31 +57,46 @@ class SampledPoints(NamedTuple):
 def _sample_bank(key, bank: TrajectoryBank, num_frames: int, batch: int
                  ) -> SampledPoints:
     n, t = bank.valid.shape
+    if batch == 0:
+        z = jnp.zeros((0, 3), jnp.float32)
+        return SampledPoints(z, z)
+    if n == 0:
+        raise ValueError("cannot sample from an empty trajectory bank — "
+                         "use resolve_fg_batch to route the quota to the "
+                         "non-empty bank")
     row_valid = jnp.arange(n) < bank.count
 
     def try_frames(carry):
-        key, _, _ = carry
+        key, _, _, tries = carry
         key, sub = jax.random.split(key)
         frame_idx = jax.random.choice(sub, t, (num_frames,), replace=False)
         vis = bank.valid[:, frame_idx]  # N×F
         eligible = (jnp.sum(vis, axis=1) >= 2) & row_valid
-        return key, frame_idx, eligible
+        return key, frame_idx, eligible, tries + 1
 
     def cond(carry):
-        _, _, eligible = carry
-        return jnp.sum(eligible) < 2
+        _, _, eligible, tries = carry
+        # bounded retry: tiny banks (e.g. few surviving trajectories) may
+        # never expose 2 eligible rows for some frame draws — give up after
+        # 32 tries and fall back to the replace-by-best rule below
+        return (jnp.sum(eligible) < 2) & (tries < 32)
 
     init = try_frames((key, jnp.zeros((num_frames,), jnp.int32),
-                       jnp.zeros((n,), bool)))
-    key, frame_idx, eligible = jax.lax.while_loop(cond, lambda c: try_frames(c), init)
+                       jnp.zeros((n,), bool), jnp.asarray(0, jnp.int32)))
+    key, frame_idx, eligible, _ = jax.lax.while_loop(
+        cond, lambda c: try_frames(c), init)
 
     key, k_traj, k_frames = jax.random.split(key, 3)
-    # uniform w/o replacement among eligible trajectories
+    # uniform w/o replacement among eligible trajectories; banks smaller than
+    # the batch wrap around (sampling with replacement across tiles)
+    k = min(batch, n)
     scores = jax.random.gumbel(k_traj, (n,)) + jnp.where(eligible, 0.0, -jnp.inf)
-    _, traj_idx = jax.lax.top_k(scores, batch)  # B
-    # if eligible < batch, trailing picks are ineligible — replace by the best
+    _, traj_idx = jax.lax.top_k(scores, k)  # k
+    # if eligible < k, trailing picks are ineligible — replace by the best
     n_eligible = jnp.sum(eligible)
-    traj_idx = jnp.where(jnp.arange(batch) < n_eligible, traj_idx, traj_idx[0])
+    traj_idx = jnp.where(jnp.arange(k) < n_eligible, traj_idx, traj_idx[0])
+    if k < batch:
+        traj_idx = jnp.resize(traj_idx, (batch,))
 
     # multinomial(2, replacement=False) over visibility at the chosen frames
     vis = bank.valid[traj_idx][:, frame_idx]  # B×F
@@ -106,14 +121,40 @@ class TrainSample(NamedTuple):
     target_times: jnp.ndarray          # B absolute frames
 
 
+def resolve_fg_batch(fg_bank: TrajectoryBank, bg_bank: TrajectoryBank,
+                     batch_size: int, fg_traj_ratio: float) -> int:
+    """Host-side (pre-jit) split of the point budget between banks.
+
+    The reference hard-assumes both banks are non-empty
+    (data/dataset.py:211-232 builds one sub-sampler per bank); real videos
+    can legitimately yield an empty side (mask covers everything / nothing),
+    so an empty bank routes its quota to the other side instead of crashing."""
+    n_fg = int(fg_bank.count)
+    n_bg = int(bg_bank.count)
+    if n_fg == 0 and n_bg == 0:
+        raise ValueError("both trajectory banks are empty — no flow "
+                         "supervision available for this video")
+    fg_batch = int(batch_size * fg_traj_ratio)
+    if n_fg == 0:
+        return 0
+    if n_bg == 0:
+        return batch_size
+    return fg_batch
+
+
 def sample_batch(key, fg_bank: TrajectoryBank, bg_bank: TrajectoryBank,
                  batch_size: int, num_frames: int, fg_traj_ratio: float,
-                 video_len: int, video_w: int, video_h: int) -> TrainSample:
+                 video_len: int, video_w: int, video_h: int,
+                 fg_batch: int = None) -> TrainSample:
     """One training batch (reference DinoTrackerSampler.forward,
     data/dataset.py:233-258). frames_set_t is padded to 2*num_frames entries
-    (duplicate frames repeat the first frame — harmless extra conv rows)."""
+    (duplicate frames repeat the first frame — harmless extra conv rows).
+
+    ``fg_batch`` overrides the ratio-derived split (see resolve_fg_batch);
+    callers under jit must pass a static int."""
     kf, kb = jax.random.split(key)
-    fg_batch = int(batch_size * fg_traj_ratio)
+    if fg_batch is None:
+        fg_batch = int(batch_size * fg_traj_ratio)
     bg_batch = batch_size - fg_batch
     fg = _sample_bank(kf, fg_bank, num_frames, fg_batch)
     bg = _sample_bank(kb, bg_bank, num_frames, bg_batch)

@@ -32,6 +32,7 @@ from ..structures import BBData
 from . import checkpoint as ckpt_lib
 from . import contrastive, cycle, losses
 from .sampler import TrajectoryBank, sample_batch
+from .sampler import resolve_fg_batch as sampler_resolve_fg_batch
 
 logger = logging.getLogger(__name__)
 
@@ -80,7 +81,7 @@ def init_train_state(key, cfg: TrainConfig, tcfg: TrackerConfig) -> TrainState:
 
 def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                     use_cyc: bool, use_cl_ref: bool, mesh=None,
-                    steps_per_call: int = 1):
+                    steps_per_call: int = 1, fg_batch: Optional[int] = None):
     """Build the jitted step for one phase. use_cyc/use_cl_ref are static.
 
     With ``mesh`` the point-batch and frame axes shard over the ``data``
@@ -100,7 +101,8 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
         sample = sample_batch(k_sample, data.fg_bank, data.bg_bank,
                               cfg.train_batch_size, cfg.batch_n_frames,
                               cfg.fg_traj_ratio, video_len,
-                              cfg.video_resw, cfg.video_resh)
+                              cfg.video_resw, cfg.video_resh,
+                              fg_batch=fg_batch)
         inp = TrackerInput(constrain_batch(sample.t1_points, mesh),
                            constrain_batch(sample.source_frame_indices, mesh),
                            constrain_batch(sample.target_frame_indices, mesh),
@@ -195,11 +197,15 @@ class Trainer:
     def _step_fn(self, i: int, n: int):
         use_cyc = i >= self.cfg.apply_cyc_after
         use_cl_ref = i >= self.cfg.apply_cl_ref_after
-        key = (use_cyc, use_cl_ref, n)
+        fg_batch = sampler_resolve_fg_batch(
+            self.data.fg_bank, self.data.bg_bank,
+            self.cfg.train_batch_size, self.cfg.fg_traj_ratio)
+        key = (use_cyc, use_cl_ref, n, fg_batch)
         if key not in self._steps:
             self._steps[key] = make_train_step(self.cfg, self.tcfg,
                                                use_cyc, use_cl_ref,
-                                               steps_per_call=n)
+                                               steps_per_call=n,
+                                               fg_batch=fg_batch)
         return self._steps[key]
 
     def _next_chunk(self, i: int, log_interval: int) -> int:

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--points-per-frame", type=int, default=26)
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-preprocess", action="store_true",
+                    help="reuse existing preprocessing artifacts in "
+                         "--data-path (e.g. resuming after a crash)")
+    ap.add_argument("--preprocess-seconds", type=float, default=None,
+                    help="with --skip-preprocess: previously measured "
+                         "preprocess wall-clock to stitch into the summary")
     args = ap.parse_args()
 
     import logging
@@ -78,10 +84,17 @@ def main():
                                                      pcfg.dino_model_name)
 
     # -- preprocessing ----------------------------------------------------
-    with timed("preprocess"):
-        from dino_tracker_tpu.preprocessing.pipeline import PreprocessingPipeline
-        PreprocessingPipeline(args.data_path, pcfg, raft_params=raft_params,
-                              vit_params=vit_params, vit_cfg=vit_cfg).run()
+    if args.skip_preprocess:
+        stages["preprocess"] = args.preprocess_seconds or 0.0
+        print(json.dumps({"stage": "preprocess", "seconds":
+                          stages["preprocess"], "reused": True}), flush=True)
+    else:
+        with timed("preprocess"):
+            from dino_tracker_tpu.preprocessing.pipeline import (
+                PreprocessingPipeline)
+            PreprocessingPipeline(args.data_path, pcfg,
+                                  raft_params=raft_params,
+                                  vit_params=vit_params, vit_cfg=vit_cfg).run()
 
     # -- training (the 10k-iteration test-time loop) ----------------------
     with timed("train"):

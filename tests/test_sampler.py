@@ -70,6 +70,45 @@ def test_sampled_points_match_bank_coords():
         assert d.min() < 1e-3
 
 
+def test_sample_batch_bank_smaller_than_batch():
+    """Banks with fewer rows than the point budget wrap around instead of
+    crashing (real failure: 66 surviving trajectories vs batch 256)."""
+    t = 10
+    fg = sampler.build_bank(make_trajs(7, t, visible_prob=1.0))
+    bg = sampler.build_bank(make_trajs(5, t, visible_prob=1.0))
+    s = jax.jit(lambda k: sampler.sample_batch(
+        k, fg, bg, batch_size=64, num_frames=4, fg_traj_ratio=0.5,
+        video_len=t, video_w=100, video_h=100))(jax.random.PRNGKey(0))
+    assert s.t1_points.shape == (64, 3)
+    assert np.isfinite(np.asarray(s.t1_points)).all()
+    assert np.isfinite(np.asarray(s.t2_points_normalized)).all()
+
+
+def test_resolve_fg_batch_empty_banks():
+    t = 10
+    full = sampler.build_bank(make_trajs(20, t, visible_prob=1.0))
+    empty = sampler.build_bank(np.full((0, t, 2), np.nan, np.float32))
+    assert sampler.resolve_fg_batch(full, full, 64, 0.5) == 32
+    assert sampler.resolve_fg_batch(empty, full, 64, 0.5) == 0
+    assert sampler.resolve_fg_batch(full, empty, 64, 0.5) == 64
+    try:
+        sampler.resolve_fg_batch(empty, empty, 64, 0.5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_sample_batch_one_empty_bank():
+    """Full batch routed to the non-empty side (empty side gets batch=0)."""
+    t = 10
+    full = sampler.build_bank(make_trajs(30, t, visible_prob=1.0))
+    empty = sampler.build_bank(np.full((0, t, 2), np.nan, np.float32))
+    s = sampler.sample_batch(jax.random.PRNGKey(1), full, empty, 32, 4, 0.5,
+                             t, 100, 100, fg_batch=32)
+    assert s.t1_points.shape == (32, 3)
+    assert np.isfinite(np.asarray(s.t1_points)).all()
+
+
 def test_bank_rotator_windows_and_advances():
     t = 6
     traj = make_trajs(50, t, visible_prob=1.0)
