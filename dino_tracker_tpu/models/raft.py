@@ -180,7 +180,9 @@ def _window_patches(volp, sy, sx, side: int):
     from ..ops.window_gather import window_gather, window_gather_reference
     if jax.default_backend() == "tpu":
         return window_gather(volp, sy, sx, side=side)
-    return window_gather_reference(volp, sy, sx, side=side)
+    # volp may carry extra block-padding rows (corr_lookup pre-pads to the
+    # kernel layout); the vmapped fallback needs matching leading dims
+    return window_gather_reference(volp[: sy.shape[0]], sy, sx, side=side)
 
 
 def corr_lookup(pyramid, coords_b2hw):
@@ -228,8 +230,17 @@ def corr_lookup(pyramid, coords_b2hw):
             out.append(sampled.reshape(b2, h, w, -1))
             continue
 
+        # One fused pad to the kernel's final layout: border pad for
+        # out-of-range windows PLUS right-pad to a 128-lane multiple and
+        # row-pad to the gather block size. Leaving those to window_gather
+        # means two extra multi-GB materializations per decode (measured
+        # ~30 ms/pair of pure pad copies at DAVIS scale).
+        from ..ops.window_gather import BLOCK as _GATHER_BLOCK
+        w_total = -(-(wl + 2 * pad) // 128) * 128  # right pad ≥ pad always
+        n_total = -(-n // _GATHER_BLOCK) * _GATHER_BLOCK
         volp = jnp.pad(vol.reshape(n, hl, wl),
-                       ((0, 0), (pad, pad), (pad, pad)))
+                       ((0, n_total - n), (pad, pad),
+                        (pad, w_total - wl - pad)))
         c = coords.reshape(-1, 2) / (2 ** lvl)  # (N, 2) pixel (x, y)
         # clamp just past the all-outside boundary: windows beyond it read
         # only zero padding, matching grid_sample zeros semantics exactly

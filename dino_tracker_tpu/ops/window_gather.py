@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEPTH = 8  # DMA strips in flight
+DEPTH = 32  # DMA strips in flight — each strip is only ~5-10 KB, so many
+# must be outstanding to cover HBM latency (8 in flight measured ~110 GB/s
+# effective; the target is several hundred)
 
 
 def _window_gather_kernel(sy_ref, sx_ref, vol_ref, out_ref, scratch, sems,
@@ -68,46 +70,71 @@ def _window_gather_kernel(sy_ref, sx_ref, vol_ref, out_ref, scratch, sems,
     jax.lax.fori_loop(0, block, body, None)
 
 
+BLOCK = 256  # rows per grid step (callers pre-padding the volume row axis
+# to a BLOCK multiple skip the in-wrapper row pad)
+
+# The sy/sx scalar-prefetch arrays live whole in SMEM (1 MB); cap the rows
+# per pallas_call so 2 int32 arrays never exceed ~900 KB and chunk above it.
+_MAX_ROWS = 114_688
+
+
 @functools.partial(jax.jit,
                    static_argnames=("side", "block", "interpret"))
-def window_gather(vol, sy, sx, side: int = 10, block: int = 256,
+def window_gather(vol, sy, sx, side: int = 10, block: int = BLOCK,
                   interpret: bool = False):
-    """vol: (N, Hp, Wp); sy/sx: (N,) int32 window starts (must be in
+    """vol: (≥N, Hp, Wp); sy/sx: (N,) int32 window starts (must be in
     bounds: 0 ≤ s ≤ dim - side, and sx + side ≤ 128·ceil(Wp/128)).
     Returns (N, side, side) patches. Wp is lane-padded to a 128 multiple
-    internally (the per-row strip DMA must be full-width and lane-aligned)."""
-    n, hp, wp = vol.shape
+    and rows to a block multiple internally (per-row strip DMAs must be
+    full-width and lane-aligned) — callers on the hot path pre-pad the
+    volume to the final layout so these pads compile away
+    (models/raft.py corr_lookup)."""
+    n = sy.shape[0]
+    nv, hp, wp = vol.shape
     n_pad = -(-n // block) * block
     wp_pad = -(-wp // 128) * 128
     if wp_pad != wp:
         vol = jnp.pad(vol, ((0, 0), (0, 0), (0, wp_pad - wp)))
         wp = wp_pad
+    if nv < n_pad:
+        vol = jnp.pad(vol, ((0, n_pad - nv), (0, 0), (0, 0)))
     if n_pad != n:
-        vol = jnp.pad(vol, ((0, n_pad - n), (0, 0), (0, 0)))
         sy = jnp.pad(sy, (0, n_pad - n))
         sx = jnp.pad(sx, (0, n_pad - n))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # sy, sx whole-array in SMEM
-        grid=(n_pad // block,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vol stays in HBM
-        ],
-        out_specs=pl.BlockSpec((block, side, side), lambda i, sy, sx: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((DEPTH, -(-side // 8) * 8, wp), vol.dtype),
-            pltpu.SemaphoreType.DMA((DEPTH,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_window_gather_kernel, block=block, side=side,
-                          wp=wp),
-        out_shape=jax.ShapeDtypeStruct((n_pad, side, side), vol.dtype),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(sy, sx, vol)
-    return out[:n]
+
+    max_rows = (_MAX_ROWS // block) * block
+
+    def call(vol_c, sy_c, sx_c, rows):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # sy, sx whole-array in SMEM
+            grid=(rows // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # vol stays in HBM
+            ],
+            out_specs=pl.BlockSpec((block, side, side),
+                                   lambda i, sy, sx: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((DEPTH, -(-side // 8) * 8, wp), vol_c.dtype),
+                pltpu.SemaphoreType.DMA((DEPTH,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_window_gather_kernel, block=block, side=side,
+                              wp=wp),
+            out_shape=jax.ShapeDtypeStruct((rows, side, side), vol_c.dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(sy_c, sx_c, vol_c)
+
+    if n_pad <= max_rows:
+        return call(vol[:n_pad], sy, sx, n_pad)[:n]
+    chunks = []
+    for s in range(0, n_pad, max_rows):
+        e = min(s + max_rows, n_pad)
+        chunks.append(call(vol[s:e], sy[s:e], sx[s:e], e - s))
+    return jnp.concatenate(chunks, axis=0)[:n]
 
 
 def window_gather_reference(vol, sy, sx, side: int = 10):

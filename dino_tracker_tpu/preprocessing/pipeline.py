@@ -52,6 +52,8 @@ class PreprocessingPipeline:
     mesh: Optional[object] = None  # jax.sharding.Mesh: intra-video sharding
 
     def __post_init__(self):
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.paths = add_config_paths(self.data_path)
         self._video = None
         self._engine = self.flow_engine_override

@@ -37,6 +37,8 @@ class DINOTrackerRuntime:
     seed: int = 2
 
     def __post_init__(self):
+        from .utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.paths = add_config_paths(self.data_path)
         self.tcfg = TrackerConfig(
             video_h=self.cfg.video_resh, video_w=self.cfg.video_resw,
