@@ -70,9 +70,16 @@ def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
         tgt_traj = closest_t[src_max]
         keep = traj_invalid[src_traj, t_frame] & traj_invalid[tgt_traj, s_frame]
         is_bb = is_bb & keep
-    # keep the strongest-cosine buddies when count exceeds capacity
+    # keep the strongest-cosine buddies when count exceeds capacity (small
+    # frames can have fewer tokens than the capacity — pad instead)
     score = jnp.where(is_bb, cos, -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(score, cap)
+    k = min(cap, n)
+    top_vals, top_idx = jax.lax.top_k(score, k)
+    if k < cap:
+        top_vals = jnp.concatenate(
+            [top_vals, jnp.full((cap - k,), -jnp.inf, top_vals.dtype)])
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((cap - k,), top_idx.dtype)])
     valid = jnp.isfinite(top_vals)
     return (top_idx.astype(jnp.int32),
             src_max[top_idx].astype(jnp.int32),

@@ -86,6 +86,24 @@ def test_extract_best_buddies_identity_features():
     assert not v[0, 0].any()
 
 
+def test_extract_best_buddies_cap_exceeds_tokens():
+    """cap larger than the token count pads with invalid entries instead of
+    crashing (real failure: 140×238 video has 627 tokens < cap 1024)."""
+    h, w, stride = 42, 56, 7
+    grid = np.asarray(bb_meshgrid(h, w, stride))
+    n = grid.shape[0]  # 35
+    c = 16
+    pos_feat = RNG.standard_normal((n, c)).astype(np.float32) * 2
+    feats = np.tile(pos_feat.T.reshape(1, c, 5, 7), (2, 1, 1, 1))
+    bb = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride,
+                                     cap=n + 61)
+    v = np.asarray(bb.valid)
+    assert v.shape[-1] == n + 61
+    assert v[0, 1, :n].all() and not v[0, 1, n:].any()
+    np.testing.assert_allclose(np.asarray(bb.cos_sims)[0, 1, :n], 1.0,
+                               atol=1e-5)
+
+
 def test_extract_best_buddies_mutuality_random():
     """Random features: our mutual-NN set equals the brute-force one."""
     h, w, stride, c = 42, 56, 7, 8
