@@ -33,7 +33,10 @@ def multi_head_attention(q, k, v, sm_scale: float, impl: str = "auto",
         return xla_attention(q, k, v, sm_scale)
 
     b, h, s, d = q.shape
-    block = 512 if s >= 512 else _round_up(s, 128)
+    # 1024 blocks measured fastest at the extraction shape (S=8192, d=64):
+    # 24 vs 19 TF/s with 512 blocks; ≥2048 blow VMEM. Softmax VPU work is
+    # the kernel's bound, so the win comes from fewer per-tile fixed costs.
+    block = 1024 if s >= 1024 else _round_up(s, 128)
     s_pad = _round_up(s, block)
     qf = q.reshape(b * h, s, d)
     kf = k.reshape(b * h, s, d)
