@@ -172,6 +172,35 @@ def build_corr_pyramid(fmap1_nhwc, fmap2_nhwc):
     return pyramid
 
 
+def pad_pyramid_for_lookup(pyramid):
+    """Pre-pad every level into the window-gather kernel's final layout
+    (border + lane-128 + row-block in one copy) BEFORE the GRU loop.
+
+    Padding inside the loop body relies on XLA hoisting multi-GB pad copies
+    out of the while loop; doing it here guarantees exactly one pad per
+    decode and lets XLA pick the consumer-friendly layout up front.
+    Returns [(volp_or_vol, (hl, wl), is_padded), ...]; degenerate tiny
+    levels (tests only) stay raw for the grid-sample tap path.
+    """
+    from ..ops.window_gather import BLOCK as _GATHER_BLOCK
+    r = CORR_RADIUS
+    pad = 2 * r + 2
+    out = []
+    for vol in pyramid:
+        hl, wl = vol.shape[-2:]
+        if hl < 2 or wl < 2:
+            out.append((vol, (hl, wl), False))
+            continue
+        n = vol.shape[0]
+        w_total = -(-(wl + 2 * pad) // 128) * 128  # right pad ≥ pad always
+        n_total = -(-n // _GATHER_BLOCK) * _GATHER_BLOCK
+        volp = jnp.pad(vol.reshape(n, hl, wl),
+                       ((0, n_total - n), (pad, pad),
+                        (pad, w_total - wl - pad)))
+        out.append((volp, (hl, wl), True))
+    return out
+
+
 def _window_patches(volp, sy, sx, side: int):
     """Per-row contiguous window extraction, routed by backend: the Pallas
     DMA kernel on TPU (ops/window_gather.py), vmapped dynamic_slice
@@ -210,8 +239,13 @@ def corr_lookup(pyramid, coords_b2hw):
     pad = 2 * r + 2   # keeps fully-outside (all-zero) windows inside the pad
 
     out = []
-    for lvl, vol in enumerate(pyramid):
-        hl, wl = vol.shape[-2:]
+    for lvl, entry in enumerate(pyramid):
+        if isinstance(entry, tuple):  # pre-padded (pad_pyramid_for_lookup)
+            vol, (hl, wl), pre_padded = entry
+        else:
+            vol = entry
+            hl, wl = vol.shape[-2:]
+            pre_padded = False
         n = vol.shape[0]
         if hl < 2 or wl < 2:
             # degenerate tiny level (tests only): keep the reference tap path
@@ -230,17 +264,17 @@ def corr_lookup(pyramid, coords_b2hw):
             out.append(sampled.reshape(b2, h, w, -1))
             continue
 
-        # One fused pad to the kernel's final layout: border pad for
-        # out-of-range windows PLUS right-pad to a 128-lane multiple and
-        # row-pad to the gather block size. Leaving those to window_gather
-        # means two extra multi-GB materializations per decode (measured
-        # ~30 ms/pair of pure pad copies at DAVIS scale).
-        from ..ops.window_gather import BLOCK as _GATHER_BLOCK
-        w_total = -(-(wl + 2 * pad) // 128) * 128  # right pad ≥ pad always
-        n_total = -(-n // _GATHER_BLOCK) * _GATHER_BLOCK
-        volp = jnp.pad(vol.reshape(n, hl, wl),
-                       ((0, n_total - n), (pad, pad),
-                        (pad, w_total - wl - pad)))
+        if pre_padded:
+            volp = vol
+        else:
+            # one fused pad to the kernel's final layout (prefer
+            # pad_pyramid_for_lookup, which runs it outside the GRU loop)
+            from ..ops.window_gather import BLOCK as _GATHER_BLOCK
+            w_total = -(-(wl + 2 * pad) // 128) * 128
+            n_total = -(-n // _GATHER_BLOCK) * _GATHER_BLOCK
+            volp = jnp.pad(vol.reshape(n, hl, wl),
+                           ((0, n_total - n), (pad, pad),
+                            (pad, w_total - wl - pad)))
         c = coords.reshape(-1, 2) / (2 ** lvl)  # (N, 2) pixel (x, y)
         # clamp just past the all-outside boundary: windows beyond it read
         # only zero padding, matching grid_sample zeros semantics exactly
@@ -434,7 +468,7 @@ def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
     coordinate accumulation stay f32 in either mode."""
     b, h8, w8, _ = fmap1.shape
     cdtype = net.dtype
-    pyramid = build_corr_pyramid(fmap1, fmap2)
+    pyramid = pad_pyramid_for_lookup(build_corr_pyramid(fmap1, fmap2))
     coords0 = _coords_grid(b, h8, w8)
     up = params["update"]
 
