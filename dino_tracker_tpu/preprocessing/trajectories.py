@@ -217,13 +217,17 @@ def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
             trajs = trajs[:, : ki.size, :]  # t×K×2
             collected.append(np.transpose(trajs, (1, 0, 2)).astype(np.float32))
             if look_behind:
-                kept_valid = ~np.isnan(trajs).any(axis=-1)  # t×K
-                coords = np.round(np.nan_to_num(trajs)).astype(np.int64)
-                xi = np.clip(coords[..., 0], 0, w - 1)
-                yi = np.clip(coords[..., 1], 0, h - 1)
-                for f in range(start, t):
-                    sel = kept_valid[f]
-                    occupied[f, yi[f, sel], xi[f, sel]] = True
+                # fused multithreaded round+clip+scatter (NumPy fallback
+                # below is ~3 s/start at DAVIS scale, serial)
+                from ..utils.native_traj import occupancy_update
+                if not occupancy_update(trajs, occupied, start):
+                    kept_valid = ~np.isnan(trajs).any(axis=-1)  # t×K
+                    coords = np.round(np.nan_to_num(trajs)).astype(np.int64)
+                    xi = np.clip(coords[..., 0], 0, w - 1)
+                    yi = np.clip(coords[..., 1], 0, h - 1)
+                    for f in range(start, t):
+                        sel = kept_valid[f]
+                        occupied[f, yi[f, sel], xi[f, sel]] = True
 
     if not collected:
         return np.full((0, t, 2), np.nan, np.float32)
