@@ -145,3 +145,14 @@ def test_train_infer_eval_cycle(pipeline_dir, tmp_path):
     # grid inference
     trajs_g, occ_g = rt.infer_grid(interval=24, chunk=64)
     assert trajs_g.shape[1] == T and trajs_g.shape[2] == 2
+
+    # crash-resume: a fresh runtime with a larger budget picks up from the
+    # saved iter-4 state instead of restarting (reference get_last_ckpt_iter,
+    # models/utils.py:61-68)
+    cfg8 = dataclasses.replace(cfg, total_iterations=8)
+    rt2 = DINOTrackerRuntime(pipeline_dir, cfg8)
+    rt2.tcfg = dataclasses.replace(rt2.tcfg, delta_channels=(3, 4, 4, 4, 16))
+    state2 = rt2.train()
+    assert int(state2.step) == 8
+    assert os.path.exists(os.path.join(paths["ckpt_folder"],
+                                       "state_8.msgpack"))
