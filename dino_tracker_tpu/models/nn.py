@@ -85,8 +85,14 @@ def batchnorm(x_nhwc, params, stats, train: bool, momentum: float = 0.1,
     x_nhwc = x_nhwc.astype(jnp.float32)  # stats and affine always in f32
     if train:
         axes = (0, 1, 2)
+        # E[x]/E[x²] in one fused pass (sibling reductions) instead of
+        # jnp.var's dependent second sweep — the activations here are
+        # hundreds of MB, and this reduction pair is a measured slice of
+        # the train step. Same formulation cuDNN uses; mild cancellation
+        # is fine in f32 for post-conv activations.
         mean = jnp.mean(x_nhwc, axis=axes)
-        var = jnp.var(x_nhwc, axis=axes)
+        var = jnp.maximum(jnp.mean(x_nhwc * x_nhwc, axis=axes) - mean * mean,
+                          0.0)
         n = x_nhwc.shape[0] * x_nhwc.shape[1] * x_nhwc.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {

@@ -484,8 +484,11 @@ def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
         coords1 = coords1 + jnp.transpose(delta, (0, 3, 1, 2))
         return (new_net, coords1), None
 
+    # unroll=2: measured 6.5% faster than the rolled loop on v5e (better
+    # cross-iteration scheduling of the gather DMAs vs conv compute);
+    # unroll=4 gains nothing more and doubles compile time again
     (net, coords1), _ = jax.lax.scan(step, (net, coords0), None,
-                                     length=num_iters)
+                                     length=num_iters, unroll=2)
     flow_coarse = jnp.transpose(coords1 - coords0, (0, 2, 3, 1))
     mask = _conv_lane(jax.nn.relu(_conv_lane(net, up["mask"]["conv1"],
                                              padding=1)),
