@@ -201,6 +201,26 @@ def pad_pyramid_for_lookup(pyramid):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _combine_matrix(side: int, r: int):
+    """Static (side², 4·(2r+1)²) one-hot matrix: column slab δ ∈
+    {(0,0),(0,1),(1,0),(1,1)} (δy, δx), channel c = slab·81 + dx·9 + dy
+    (the torch corr layout's dx-major order), selects flat patch entry
+    (dy+δy)·side + (dx+δx)."""
+    import numpy as np
+    win = 2 * r + 1
+    mat = np.zeros((side * side, 4 * win * win), np.float32)
+    for slab, (dy_, dx_) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        for dx in range(win):
+            for dy in range(win):
+                c = slab * win * win + dx * win + dy
+                p = (dy + dy_) * side + (dx + dx_)
+                mat[p, c] = 1.0
+    # NumPy, NOT jnp: an lru-cached jnp array created inside a trace would
+    # leak that trace's tracer into later calls
+    return mat
+
+
 def _window_patches(volp, sy, sx, side: int):
     """Per-row contiguous window extraction, routed by backend: the Pallas
     DMA kernel on TPU (ops/window_gather.py), vmapped dynamic_slice
@@ -287,15 +307,23 @@ def corr_lookup(pyramid, coords_b2hw):
         sx = (x0 - r + pad).astype(jnp.int32)
         sy = (y0 - r + pad).astype(jnp.int32)
         patch = _window_patches(volp, sy, sx, side)  # N×10×10 (y, x) taps
-        w00 = ((1 - fy) * (1 - fx))[:, None, None]
-        w01 = ((1 - fy) * fx)[:, None, None]
-        w10 = (fy * (1 - fx))[:, None, None]
-        w11 = (fy * fx)[:, None, None]
-        win = (w00 * patch[:, :-1, :-1] + w01 * patch[:, :-1, 1:]
-               + w10 * patch[:, 1:, :-1] + w11 * patch[:, 1:, 1:])
-        # win[dy, dx] -> channel layout (dx major): transpose to (dx, dy)
-        win = jnp.transpose(win, (0, 2, 1)).reshape(b2, h, w, -1)
-        out.append(win)
+        # Bilinear combine as ONE static one-hot matmul: elementwise ops on
+        # (N, 10, 10) run at 10/128 lane utilization (measured ~11 ms/iter
+        # of pure VPU waste); (N, 100) @ (100, 4·81) extracts all four
+        # integer-shifted 9×9 sub-windows at full MXU width with the
+        # dx-major channel permutation folded into the matrix for free.
+        p4 = jnp.dot(patch.reshape(-1, side * side),
+                     jnp.asarray(_combine_matrix(side, r),
+                                 dtype=patch.dtype),
+                     preferred_element_type=patch.dtype)  # N×(4·81)
+        k2 = (2 * r + 1) ** 2
+        w00 = ((1 - fy) * (1 - fx))[:, None]
+        w01 = ((1 - fy) * fx)[:, None]
+        w10 = (fy * (1 - fx))[:, None]
+        w11 = (fy * fx)[:, None]
+        win = (w00 * p4[:, :k2] + w01 * p4[:, k2:2 * k2]
+               + w10 * p4[:, 2 * k2:3 * k2] + w11 * p4[:, 3 * k2:])
+        out.append(win.reshape(b2, h, w, k2))
     return jnp.concatenate(out, axis=-1)  # B×h×w×324
 
 
