@@ -157,6 +157,11 @@ class PreprocessConfig:
     max_frames: int = 400  # cap on feature extraction length
     compute_dtype: str = "bfloat16"  # ViT extraction matmul dtype
     extract_frames_per_batch: int = 4
+    # on-disk dtype for the T×1024×67×121 feature video (~1.7 GB at DAVIS
+    # scale in f32). "float16" halves the artifact + the device→host fetch;
+    # consumers always upcast to f32 (reference stores f32 torch tensors —
+    # keep the default until the parity harness is run with f16 enabled)
+    feature_store_dtype: str = "float32"
 
     @classmethod
     def from_yaml(cls, path: str) -> "PreprocessConfig":

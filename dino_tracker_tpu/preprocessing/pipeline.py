@@ -114,9 +114,13 @@ class PreprocessingPipeline:
             frames_per_batch=self.cfg.extract_frames_per_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
             mesh=self.mesh)
+        store_dtype = np.dtype(self.cfg.feature_store_dtype)
         for f, path in zip(feats, out_paths):
+            if store_dtype != np.float32:
+                f = f.astype(jnp.dtype(store_dtype))  # cast on device:
+                # halves the device→host fetch too, not just the file
             video_io.save_npz(path, features=np.asarray(f))
-            logger.info("saved %s: %s", path, f.shape)
+            logger.info("saved %s: %s (%s)", path, f.shape, store_dtype)
         return feats[0] if single else feats
 
     def create_fg_masks(self, mask_features: np.ndarray):

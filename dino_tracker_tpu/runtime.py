@@ -53,7 +53,9 @@ class DINOTrackerRuntime:
     def load_video_data(self) -> train_lib.VideoData:
         if self._data is not None:
             return self._data
-        dino = video_io.load_npz(self.paths["dino_embed_video_path"])["features"]
+        dino = video_io.load_npz(
+            self.paths["dino_embed_video_path"])["features"].astype(
+            np.float32, copy=False)  # f16 on-disk option upcasts here
         # preprocessing may have capped the video at max_frames; every
         # artifact shares the feature video's length — load to match so
         # clamped gathers can never silently alias frames

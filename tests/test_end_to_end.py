@@ -75,6 +75,29 @@ def pipeline_dir(tmp_path_factory):
     return root
 
 
+def test_feature_store_dtype_f16(tmp_path):
+    """feature_store_dtype=float16 halves the artifact; loaders upcast."""
+    root = str(tmp_path / "vid")
+    os.makedirs(root)
+    make_video_dir(root)
+    pcfg = PreprocessConfig(video_resh=H, video_resw=W, dino_layer=1,
+                            mask_dino_layer=2,
+                            feature_store_dtype="float16")
+    vit_params = init_vit(jax.random.PRNGKey(0), VIT)
+    pipe = PreprocessingPipeline(
+        root, pcfg, vit_params=vit_params, vit_cfg=VIT, progress=False,
+        flow_engine_override=StaticFlowEngine(T, H, W))
+    feats = pipe.extract_dino_features(
+        1, add_config_paths(root)["dino_embed_video_path"])
+    assert feats.dtype == jnp.float32  # in-process consumers stay f32
+    from dino_tracker_tpu.utils import video_io
+    stored = video_io.load_npz(
+        add_config_paths(root)["dino_embed_video_path"])["features"]
+    assert stored.dtype == np.float16
+    np.testing.assert_allclose(stored.astype(np.float32),
+                               np.asarray(feats), rtol=2e-3, atol=2e-3)
+
+
 def test_preprocessing_artifacts(pipeline_dir):
     paths = add_config_paths(pipeline_dir)
     for key in ("trajectories_file", "unfiltered_trajectories_file",
