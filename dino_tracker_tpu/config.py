@@ -162,6 +162,12 @@ class PreprocessConfig:
     # consumers always upcast to f32 (reference stores f32 torch tensors —
     # keep the default until the parity harness is run with f16 enabled)
     feature_store_dtype: str = "float32"
+    # write feature-video artifacts from a background thread so the
+    # multi-GB device→host fetch overlaps the BB sweep's device compute.
+    # Opt-in: semantics are suite-tested, but concurrent host↔device RPCs
+    # have not been smoke-tested through this dev box's relay — enable on
+    # hosts with a direct device link
+    async_artifact_save: bool = False
 
     @classmethod
     def from_yaml(cls, path: str) -> "PreprocessConfig":

@@ -57,6 +57,7 @@ class PreprocessingPipeline:
         self.paths = add_config_paths(self.data_path)
         self._video = None
         self._engine = self.flow_engine_override
+        self._save_threads = []
 
     # -- shared inputs ----------------------------------------------------
     @property
@@ -119,8 +120,22 @@ class PreprocessingPipeline:
             if store_dtype != np.float32:
                 f = f.astype(jnp.dtype(store_dtype))  # cast on device:
                 # halves the device→host fetch too, not just the file
-            video_io.save_npz(path, features=np.asarray(f))
-            logger.info("saved %s: %s (%s)", path, f.shape, store_dtype)
+            if self.cfg.async_artifact_save:
+                # overlap the multi-GB device→host fetch + npz write with
+                # the downstream device-side stages (the BB sweep reuses the
+                # DEVICE array, never the file); run() joins before exit
+                import threading
+
+                def save(f=f, path=path):
+                    video_io.save_npz(path, features=np.asarray(f))
+                    logger.info("saved %s: %s (%s)", path, f.shape,
+                                store_dtype)
+                th = threading.Thread(target=save, name=f"save:{path}")
+                th.start()
+                self._save_threads.append(th)
+            else:
+                video_io.save_npz(path, features=np.asarray(f))
+                logger.info("saved %s: %s (%s)", path, f.shape, store_dtype)
         return feats[0] if single else feats
 
     def create_fg_masks(self, mask_features: np.ndarray):
@@ -214,4 +229,11 @@ class PreprocessingPipeline:
                 False, self.paths["unfiltered_trajectories_file"])
         with stage_timer("preprocess/best_buddies"):
             self.compute_best_buddies(feats, unfiltered)
+        self.join_saves()
         logger.info("stage timing report:\n%s", dump_stage_report())
+
+    def join_saves(self):
+        """Block until all async artifact writes have landed."""
+        for th in self._save_threads:
+            th.join()
+        self._save_threads = []

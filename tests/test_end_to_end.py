@@ -89,6 +89,7 @@ def test_feature_store_dtype_f16(tmp_path):
         flow_engine_override=StaticFlowEngine(T, H, W))
     feats = pipe.extract_dino_features(
         1, add_config_paths(root)["dino_embed_video_path"])
+    pipe.join_saves()
     assert feats.dtype == jnp.float32  # in-process consumers stay f32
     from dino_tracker_tpu.utils import video_io
     stored = video_io.load_npz(
