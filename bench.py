@@ -119,11 +119,13 @@ def analytic_flops_per_iter(tcfg, n_frames: int = 8, batch: int = 512):
     return 3.0 * fwd * n_frames + corr
 
 
-def flops_per_step(step, state, data, tcfg, steps_per_call):
+def flops_per_step(step, state, data, tcfg, steps_per_call,
+                   n_frames: int = 8, batch: int = 512):
     """XLA cost-analysis FLOPs for ONE fused program; falls back to the
     analytic bound when the remote-compile backend under-reports (observed:
     cost_analysis returns ~217 GF/iter where DeltaDINO alone is ~4 TF)."""
-    analytic = analytic_flops_per_iter(tcfg) * steps_per_call
+    analytic = analytic_flops_per_iter(
+        tcfg, n_frames=n_frames, batch=batch) * steps_per_call
     try:
         key = jax.random.PRNGKey(0)
         compiled = step.lower(state, data, key).compile()
@@ -162,7 +164,9 @@ def main():
                                        use_cl_ref=True)
     dt_single = time_step(single, state, data, n_calls=10, iters_per_call=1)
 
-    fl = flops_per_step(fused, state, data, tcfg, cfg.steps_per_call)
+    fl = flops_per_step(fused, state, data, tcfg, cfg.steps_per_call,
+                        n_frames=2 * cfg.batch_n_frames,
+                        batch=cfg.train_batch_size)
     mfu = (fl / cfg.steps_per_call / dt_fused / PEAK_FLOPS) if fl else None
 
     minutes_10k = dt_fused * 10_000 / 60.0

@@ -160,14 +160,13 @@ class PreprocessConfig:
     # on-disk dtype for the T×1024×67×121 feature video (~1.7 GB at DAVIS
     # scale in f32). "float16" halves the artifact + the device→host fetch;
     # consumers always upcast to f32 (reference stores f32 torch tensors —
-    # keep the default until the parity harness is run with f16 enabled)
-    feature_store_dtype: str = "float32"
+    # parity-tested in tests/test_end_to_end.py; set "float32" to opt out)
+    feature_store_dtype: str = "float16"
     # write feature-video artifacts from a background thread so the
     # multi-GB device→host fetch overlaps the BB sweep's device compute.
-    # Opt-in: semantics are suite-tested, but concurrent host↔device RPCs
-    # have not been smoke-tested through this dev box's relay — enable on
-    # hosts with a direct device link
-    async_artifact_save: bool = False
+    # Writer failures are re-raised at join_saves(); set False to opt out
+    # on hosts where concurrent host↔device RPCs misbehave
+    async_artifact_save: bool = True
 
     @classmethod
     def from_yaml(cls, path: str) -> "PreprocessConfig":

@@ -51,7 +51,10 @@ def _window_gather_kernel(sy_ref, sx_ref, vol_ref, out_ref, scratch, sems,
         get_dma(j).start()
         return carry
 
-    jax.lax.fori_loop(0, DEPTH, warm, None)
+    # warm only min(DEPTH, block) slots: with block < DEPTH the extra DMAs
+    # would read rows past the padded arrays and leave their semaphores
+    # unwaited at the end of every grid step (UB/hang on real TPU)
+    jax.lax.fori_loop(0, min(DEPTH, block), warm, None)
 
     def body(j, carry):
         # wait first: slot j%DEPTH must drain before j+DEPTH reuses it

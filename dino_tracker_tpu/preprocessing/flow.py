@@ -166,17 +166,10 @@ class RaftFlowEngine:
 
                 fwd = unpad(dec(ia, ib))  # n×2×h×w (source-frame grid)
                 bwd = unpad(dec(ib, ia))
-                ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                                      jnp.arange(w, dtype=jnp.float32),
-                                      indexing="ij")
-                coords = jnp.stack([xs, ys], axis=-1)[None]  # 1×h×w×2
-                coords1 = coords + jnp.transpose(fwd, (0, 2, 3, 1))
-                warped_b = bilinear_sampler_pixel(bwd, coords1)
-                coords2 = coords1 + jnp.transpose(warped_b, (0, 2, 3, 1))
-                err = jnp.linalg.norm(coords - coords2, axis=-1)
-                upper = jnp.asarray([w - 1.0, h - 1.0])
-                in_b = jnp.all((coords1 >= 0) & (coords1 <= upper), axis=-1)
-                mask = ((err < thresh) & in_b).astype(jnp.float32)
+                # one implementation of the cycle-consistency mask shared
+                # with the host oracle used by tests / alternate engines
+                mask = _cycle_masks_batched(fwd, bwd, thresh).astype(
+                    jnp.float32)
                 dflows = jnp.transpose(fwd, (0, 2, 3, 1))  # n×h×w×2
                 return constrain_batch(dflows, mesh), constrain_batch(mask, mesh)
 

@@ -130,9 +130,16 @@ class PreprocessingPipeline:
                     video_io.save_npz(path, features=np.asarray(f))
                     logger.info("saved %s: %s (%s)", path, f.shape,
                                 store_dtype)
-                th = threading.Thread(target=save, name=f"save:{path}")
+                slot = {"exc": None}
+
+                def run_save(save=save, slot=slot):
+                    try:
+                        save()
+                    except BaseException as e:  # re-raised in join_saves
+                        slot["exc"] = e
+                th = threading.Thread(target=run_save, name=f"save:{path}")
                 th.start()
-                self._save_threads.append(th)
+                self._save_threads.append((th, slot))
             else:
                 video_io.save_npz(path, features=np.asarray(f))
                 logger.info("saved %s: %s (%s)", path, f.shape, store_dtype)
@@ -233,7 +240,14 @@ class PreprocessingPipeline:
         logger.info("stage timing report:\n%s", dump_stage_report())
 
     def join_saves(self):
-        """Block until all async artifact writes have landed."""
-        for th in self._save_threads:
+        """Block until all async artifact writes have landed; re-raise the
+        first writer failure so a missing/corrupt feature artifact can't
+        masquerade as a successful run."""
+        threads, self._save_threads = self._save_threads, []
+        first_exc = None
+        for th, slot in threads:
             th.join()
-        self._save_threads = []
+            if slot["exc"] is not None and first_exc is None:
+                first_exc = slot["exc"]
+        if first_exc is not None:
+            raise first_exc

@@ -86,6 +86,25 @@ def _sample_bank(key, bank: TrajectoryBank, num_frames: int, batch: int
     key, frame_idx, eligible, _ = jax.lax.while_loop(
         cond, lambda c: try_frames(c), init)
 
+    def fallback(args):
+        # 32-try bailout with zero eligible rows: draw the frames from row
+        # 0's own visibility (build_bank guarantees every real row has ≥2
+        # valid frames), which makes at least row 0 eligible — otherwise
+        # traj_idx degenerates to an arbitrary/padding row and top-2 picks
+        # invisible frames, feeding (0,0) coords into the loss
+        key, frame_idx, _ = args
+        key, sub = jax.random.split(key)
+        g = (jax.random.gumbel(sub, (t,))
+             + jnp.where(bank.valid[0], 0.0, -jnp.inf))
+        _, fidx = jax.lax.top_k(g, num_frames)
+        fidx = fidx.astype(frame_idx.dtype)
+        vis = bank.valid[:, fidx]
+        return key, fidx, (jnp.sum(vis, axis=1) >= 2) & row_valid
+
+    key, frame_idx, eligible = jax.lax.cond(
+        jnp.sum(eligible) == 0, fallback, lambda a: a,
+        (key, frame_idx, eligible))
+
     key, k_traj, k_frames = jax.random.split(key, 3)
     # uniform w/o replacement among eligible trajectories; banks smaller than
     # the batch wrap around (sampling with replacement across tiles)
