@@ -1,0 +1,216 @@
+"""Golden parity tests against the REFERENCE'S OWN torch modules.
+
+Every other parity test in this suite compares against builder-written torch
+mirrors, which could encode the same misreading twice. These tests import the
+reference's actual code (pure-python + CPU-torch importable modules:
+models/networks/tracker_head.py, models/networks/conv_norm.py,
+eval/metrics.py, data/dataset.py) and assert our JAX implementations
+reproduce it on shared random inputs.
+
+The reference hardcodes device='cuda' in RangeNormalizer's default arg
+(data/dataset.py:15); we rebind that single default to 'cpu' so its forward
+runs on the in-env CPU torch — no reference logic is altered.
+"""
+
+import math
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+if REFERENCE not in sys.path:
+    sys.path.append(REFERENCE)
+
+import jax
+import jax.numpy as jnp
+
+from dino_tracker_tpu.evaluation import metrics as our_metrics
+from dino_tracker_tpu.models import tracker_head as our_head
+from dino_tracker_tpu.utils import coords as coord_utils
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    from data import dataset as ref_dataset  # noqa: reference import
+    from models.networks import conv_norm as ref_conv_norm
+    from models.networks import tracker_head as ref_tracker_head
+    from eval import metrics as ref_metrics
+    # reference RangeNormalizer defaults to device='cuda'
+    # (data/dataset.py:15); run it on the CPU torch in this env
+    ref_dataset.RangeNormalizer.__init__.__defaults__ = ("cpu",)
+    return ref_dataset, ref_conv_norm, ref_tracker_head, ref_metrics
+
+
+def test_range_normalizer_matches_reference(ref_modules):
+    ref_dataset = ref_modules[0]
+    rng = np.random.default_rng(0)
+    shapes = (854.0, 476.0, 50.0)
+    x = (rng.random((64, 3)) * np.asarray([853, 475, 49])).astype(np.float32)
+
+    ref_norm = ref_dataset.RangeNormalizer(shapes=shapes)
+    ours = coord_utils.make_range_normalizer(shapes)
+    for dst in [(0.0, 1.0), (-1.0, 1.0)]:
+        for dims in [[0, 1, 2], [0, 1]]:
+            ref = ref_norm(torch.from_numpy(x), dst=dst, dims=dims).numpy()
+            got = np.asarray(coord_utils.normalize_range(
+                jnp.asarray(x), ours, dst=dst, dims=tuple(dims)))
+            np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+            # and the inverse (reference data/dataset.py:39-53)
+            ref_un = ref_norm.unnormalize(torch.from_numpy(ref), src=dst,
+                                          dims=dims).numpy()
+            got_un = np.asarray(coord_utils.unnormalize_range(
+                jnp.asarray(ref), ours, src=dst, dims=tuple(dims)))
+            np.testing.assert_allclose(got_un, ref_un, atol=1e-4, rtol=1e-5)
+
+
+def test_normalized_conv2d_matches_reference(ref_modules):
+    _, ref_conv_norm, _, _ = ref_modules
+    rng = np.random.default_rng(1)
+    in_ch, out_ch, k = 3, 5, 3
+    conv = ref_conv_norm.NormalizedConv2d(in_ch, out_ch, k, padding=k // 2)
+    w = rng.standard_normal((out_ch, in_ch, k, k)).astype(np.float32)
+    # plant an exactly-representable sub-EPS spatial sum (one element, no
+    # accumulation rounding) to exercise the |sum|<1e-8 sign guard
+    # (reference conv_norm.py:34-40)
+    w[0, 0] = 0.0
+    w[0, 0, 1, 1] = 1e-9
+    b = rng.standard_normal((out_ch,)).astype(np.float32)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+        conv.bias.copy_(torch.from_numpy(b))
+
+    x = rng.standard_normal((2, in_ch, 17, 23)).astype(np.float32)
+    ref = conv(torch.from_numpy(x)).detach().numpy()
+
+    params = {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+    got = our_head.normalized_conv2d(
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), params, kernel_size=k)
+    got = np.asarray(jnp.transpose(got, (0, 3, 1, 2)))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("video_hw", [(140, 238), (476, 854)])
+def test_tracker_head_matches_reference(ref_modules, video_hw):
+    """Full head forward: raw-argmax + normalized convs + softmax + masked
+    soft-argmax + (-1,1) normalization (reference tracker_head.py:107-121),
+    with the reference's own weights loaded into our layout."""
+    _, _, ref_tracker_head, _ = ref_modules
+    video_h, video_w = video_hw
+    stride, patch = 7, 14
+    hp = 1 + (video_h - patch) // stride
+    wp = 1 + (video_w - patch) // stride
+
+    head = ref_tracker_head.TrackerHead(
+        use_cnn_refiner=True, patch_size=patch, step_h=stride, step_w=stride,
+        video_h=video_h, video_w=video_w)
+
+    rng = np.random.default_rng(2)
+    b = 16
+    cost = rng.random((b, 1, hp, wp)).astype(np.float32)
+    # a few rows with a dominant peak (typical post-ReLU cosine volume)
+    cost[:4, 0, hp // 3, wp // 2] = 3.0
+
+    ref = head(torch.from_numpy(cost)).detach().numpy()
+
+    def to_jax(conv):
+        return {"w": jnp.asarray(conv.weight.detach().numpy()
+                                 .transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(conv.bias.detach().numpy())}
+
+    params = {"conv1": to_jax(head.cnn_refiner[0]),
+              "conv2": to_jax(head.cnn_refiner[2])}
+    got = np.asarray(our_head.apply_tracker_head(
+        params, jnp.asarray(cost), (video_h, video_w),
+        patch_size=patch, stride=stride, argmax_radius=35.0))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_tracker_head_zero_sum_fallback_matches_reference(ref_modules):
+    """The uniform-inside-mask fallback for an all-(near-)zero masked heatmap
+    (reference tracker_head.py:87-94): force the refined softmax mass far
+    outside the argmax circle."""
+    _, _, ref_tracker_head, _ = ref_modules
+    video_h, video_w = 140, 238
+    stride, patch = 7, 14
+    hp = 1 + (video_h - patch) // stride
+    wp = 1 + (video_w - patch) // stride
+    head = ref_tracker_head.TrackerHead(
+        use_cnn_refiner=False, patch_size=patch, step_h=stride, step_w=stride,
+        video_h=video_h, video_w=video_w)
+
+    cost = np.zeros((2, 1, hp, wp), np.float32)
+    cost[:, 0, 0, 0] = 60.0       # raw argmax at the top-left corner
+    cost[:, 0, -1, -1] = 100.0    # softmax mass at the bottom-right corner
+    with torch.no_grad():
+        ref = head(torch.from_numpy(cost)).numpy()
+    # reference with use_cnn_refiner=False applies Identity before softmax;
+    # our head always runs both convs, so route the volume untouched through
+    # them: channel 0 carries a center-delta kernel (spatial sum 1 → the
+    # normalization is a no-op, and cost ≥ 0 passes relu), all other kernels
+    # are zero (our EPS guard maps them to zero output)
+    w1 = np.zeros((3, 3, 1, 16), np.float32)
+    w1[1, 1, 0, 0] = 1.0
+    w2 = np.zeros((3, 3, 16, 1), np.float32)
+    w2[1, 1, 0, 0] = 1.0
+    params = {"conv1": {"w": jnp.asarray(w1), "b": jnp.zeros((16,))},
+              "conv2": {"w": jnp.asarray(w2), "b": jnp.zeros((1,))}}
+    got = np.asarray(our_head.apply_tracker_head(
+        params, jnp.asarray(cost), (video_h, video_w),
+        patch_size=patch, stride=stride, argmax_radius=35.0))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("query_mode", ["strided", "first"])
+def test_tapvid_metrics_match_reference(ref_modules, query_mode):
+    _, _, _, ref_metrics = ref_modules
+    rng = np.random.default_rng(3)
+    b, n, t = 2, 24, 12
+    gt_tracks = (rng.random((b, n, t, 2)) * 256).astype(np.float32)
+    pred_tracks = gt_tracks + rng.normal(0, 4, (b, n, t, 2)).astype(np.float32)
+    gt_occ = rng.random((b, n, t)) < 0.3
+    pred_occ = rng.random((b, n, t)) < 0.3
+    qframe = rng.integers(0, t, (b, n))
+    # every track visible at its query frame (TAP-Vid invariant)
+    for bi in range(b):
+        gt_occ[bi, np.arange(n), qframe[bi]] = False
+    query_points = np.stack(
+        [qframe.astype(np.float32),
+         rng.random((b, n)).astype(np.float32) * 256,
+         rng.random((b, n)).astype(np.float32) * 256], axis=-1)
+
+    ref = ref_metrics.compute_tapvid_metrics(
+        query_points, gt_occ, gt_tracks, pred_occ, pred_tracks, query_mode)
+    got = our_metrics.compute_tapvid_metrics(
+        query_points, gt_occ, gt_tracks, pred_occ, pred_tracks, query_mode)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-6, err_msg=k)
+
+
+@pytest.mark.parametrize("query_mode", ["strided", "first"])
+def test_tapvid_metrics_trackwise_match_reference(ref_modules, query_mode):
+    _, _, _, ref_metrics = ref_modules
+    rng = np.random.default_rng(4)
+    b, n, t = 1, 10, 8
+    gt_tracks = (rng.random((b, n, t, 2)) * 256).astype(np.float32)
+    pred_tracks = gt_tracks + rng.normal(0, 8, (b, n, t, 2)).astype(np.float32)
+    gt_occ = rng.random((b, n, t)) < 0.4
+    pred_occ = rng.random((b, n, t)) < 0.4
+    qframe = rng.integers(0, t, (b, n))
+    for bi in range(b):
+        gt_occ[bi, np.arange(n), qframe[bi]] = False
+    query_points = np.stack(
+        [qframe.astype(np.float32), np.zeros((b, n), np.float32),
+         np.zeros((b, n), np.float32)], axis=-1)
+
+    ref = ref_metrics.compute_tapvid_metrics(
+        query_points, gt_occ, gt_tracks, pred_occ, pred_tracks, query_mode,
+        get_trackwise_metrics=True)
+    got = our_metrics.compute_tapvid_metrics(
+        query_points, gt_occ, gt_tracks, pred_occ, pred_tracks, query_mode,
+        get_trackwise_metrics=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-6, err_msg=k)
