@@ -21,6 +21,12 @@ def main():
     parser.add_argument("--vis-start-frame", type=int, default=0)
     parser.add_argument("--vis-end-frame", type=int, default=None)
     parser.add_argument("--canonical-frame", type=int, default=None)
+    parser.add_argument("--homography-method", default="canonical",
+                        choices=["canonical", "cv2"],
+                        help="'canonical' = reference-fidelity RANSAC "
+                             "against evolving canonical points with "
+                             "refinement passes; 'cv2' = per-frame "
+                             "findHomography with fallback chaining")
     parser.add_argument("--erosion-kernel-size", type=int, default=None)
     parser.add_argument("--use-segm-mask", action="store_true", default=True)
     parser.add_argument("--benchmark-pickle-path", default=None,
@@ -104,9 +110,14 @@ def main():
         if args.infer_res_size is not None:
             ph, pw = args.infer_res_size
             bg_xy = bg_xy * np.asarray([w / pw, h / ph], np.float32)
-        homogs = viz.estimate_homographies(bg_xy, bg_occ,
-                                           canonical_frame=args.canonical_frame,
-                                           image_dimensions=(w, h))
+        if args.homography_method == "canonical":
+            homogs, _, _ = viz.estimate_homographies_canonical(
+                bg_xy, bg_occ, image_dimensions=(w, h),
+                reference_frame=args.canonical_frame)
+        else:
+            homogs = viz.estimate_homographies(
+                bg_xy, bg_occ, canonical_frame=args.canonical_frame,
+                image_dimensions=(w, h))
         trails = viz.plot_tracks_tails(video_c, tracks_c, occ_c, homogs,
                                        point_size=args.point_size,
                                        linewidth=args.linewidth)

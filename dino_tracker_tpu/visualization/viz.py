@@ -161,6 +161,191 @@ def _apply_homography(pts_n2: np.ndarray, hm: np.ndarray) -> np.ndarray:
     return out[:, :2] / np.clip(out[:, 2:3], 1e-8, None)
 
 
+# ---------------------------------------------------------------------------
+# canonical-point homography estimation (reference-fidelity path)
+# ---------------------------------------------------------------------------
+
+def _fit_homography_dlt(src_n2: np.ndarray, dst_n2: np.ndarray,
+                        weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Least-squares homography src->dst via the DLT: the 9-vector h
+    minimizing |A h| over the 2N constraint rows, taken from the SVD's
+    smallest right singular vector (reference estimate_homography,
+    viz_utils_tapir.py:312-368 builds the same system)."""
+    n = src_n2.shape[0]
+    if weights is None:
+        weights = np.ones(n, np.float64)
+    sx, sy = src_n2[:, 0], src_n2[:, 1]
+    dx, dy = dst_n2[:, 0], dst_n2[:, 1]
+    one = np.ones(n)
+    zero = np.zeros(n)
+    rows_x = np.stack([sx, sy, one, zero, zero, zero,
+                       -dx * sx, -dx * sy, -dx], axis=1)
+    rows_y = np.stack([zero, zero, zero, sx, sy, one,
+                       -dy * sx, -dy * sy, -dy], axis=1)
+    a = np.concatenate([rows_x * weights[:, None],
+                        rows_y * weights[:, None]], axis=0)
+    full = a.shape[0] <= 8
+    _, _, vt = np.linalg.svd(a, full_matrices=full)
+    return vt[-1].reshape(3, 3)
+
+
+def _homography_errors(hm: np.ndarray, src_n2: np.ndarray,
+                       dst_n2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Squared reprojection error of H(src) vs dst and the transformed
+    points (sign-safe perspective divide, reference compute_inliers)."""
+    hom = np.concatenate([src_n2, np.ones_like(src_n2[:, :1])], axis=1)
+    out = hom @ hm.T
+    wcol = out[:, 2:3]
+    denom = np.maximum(1e-12, np.abs(wcol)) * np.where(wcol < 0, -1.0, 1.0)
+    tformed = out[:, :2] / denom
+    err = np.sum((dst_n2 - tformed) ** 2, axis=1)
+    return err, tformed
+
+
+def _ransac_fit(src_n2: np.ndarray, dst_n2: np.ndarray, vis: np.ndarray,
+                thresh: float, targ_inlier_frac: float,
+                rng: np.random.Generator) -> np.ndarray:
+    """4-point RANSAC with a decaying acceptance threshold + final
+    weighted least-squares refit on the inliers (reference
+    ransac_homography, viz_utils_tapir.py:389-441). Coordinates must
+    already be normalized to ~[0, 1]; ``thresh`` is in those units."""
+    n = src_n2.shape[0]
+    probs = vis / np.sum(vis)
+    best_hm = np.zeros((3, 3))
+    best_inliers = 0
+    t2 = thresh * thresh
+    for it in range(n):
+        # terminate once the inlier count beats a target fraction that
+        # decays with the iteration (guarantees progress even when the true
+        # inlier rate is below targ_inlier_frac)
+        accept = min(1.0 - (it + 1) / n,
+                     targ_inlier_frac * 0.99 ** it) * n
+        if best_inliers >= accept:
+            break
+        pick = rng.choice(n, 4, replace=False, p=probs)
+        hm = _fit_homography_dlt(src_n2[pick], dst_n2[pick])
+        err, _ = _homography_errors(hm, src_n2, dst_n2)
+        inliers = int(np.sum(err < t2))
+        if inliers > best_inliers:
+            best_inliers, best_hm = inliers, hm
+    err, _ = _homography_errors(best_hm, src_n2, dst_n2)
+    return _fit_homography_dlt(src_n2, dst_n2,
+                               (err < t2).astype(np.float64))
+
+
+def _update_canonical(tformed_tn2: np.ndarray, invalid_tn: np.ndarray,
+                      err_tn: np.ndarray, thresh: float, outer_thresh: float,
+                      required_inlier_frac: float, rng: np.random.Generator):
+    """Outlier-robust canonical points: mean of each point's transformed
+    positions over frames where it is visible and within ``outer_thresh``;
+    points whose within-``thresh`` fraction is too low are re-seeded from a
+    random visible frame (reference compute_canonical_points,
+    viz_utils_tapir.py:465-497)."""
+    visible = ~invalid_tn
+    outlier = invalid_tn | (err_tn > outer_thresh ** 2)
+    inlier_frac = (np.sum(visible & (err_tn < thresh ** 2), axis=0)
+                   / np.maximum(1.0, np.sum(visible, axis=0)))
+    keep = (~outlier).astype(np.float64)
+    mean = (np.einsum("tnc,tn->nc", tformed_tn2, keep)
+            / np.maximum(1.0, keep.sum(axis=0))[:, None])
+    bad = inlier_frac < required_inlier_frac
+    if np.any(bad):
+        # re-seed each bad point from one of its visible frames (or 0s when
+        # it is never visible)
+        n = invalid_tn.shape[1]
+        reseed = np.zeros((n, 2))
+        for p in np.where(bad)[0]:
+            frames = np.where(visible[:, p])[0]
+            if len(frames):
+                reseed[p] = tformed_tn2[rng.choice(frames), p]
+        mean = np.where(bad[:, None], reseed, mean)
+    return mean, bad
+
+
+def estimate_homographies_canonical(
+        tracks: np.ndarray, occluded: np.ndarray,
+        image_dimensions: Tuple[float, float],
+        reference_frame: Optional[int] = None, thresh: float = 0.07,
+        outlier_point_threshold: float = 0.95,
+        targ_inlier_frac: float = 0.7, num_refinement_passes: int = 2,
+        seed: int = 0):
+    """Reference-fidelity homography estimation: per-frame RANSAC against an
+    evolving set of CANONICAL points (robust means in the reference frame's
+    normalized coordinates), followed by global refinement passes
+    (reference get_homographies_wrt_frame, viz_utils_tapir.py:499-662).
+
+    tracks: N×T×2 pixel coords; occluded: N×T (1 = occluded);
+    image_dimensions: (width, height). Returns (homogs T×3×3 mapping
+    frame-f PIXEL coords to canonical-frame PIXEL coords, err N×T squared
+    normalized-coordinate residuals, canonical_pts N×2 pixels).
+
+    Differences from the cv2 path (``estimate_homographies``): the target is
+    the canonical AVERAGE of each trajectory rather than one frame's
+    observations, so frames with little direct overlap with the reference
+    frame still register through intermediate frames.
+    """
+    rng = np.random.default_rng(seed)
+    wh = np.asarray(image_dimensions, np.float64)
+    pts = np.transpose(tracks, (1, 0, 2)).astype(np.float64) / wh  # T×N×2
+    occ = np.transpose(occluded).astype(bool)  # T×N
+    t, n = occ.shape
+    if reference_frame is None:
+        reference_frame = t // 2
+    outer_thresh = 2.0 * thresh
+    t2 = thresh * thresh
+
+    canonical = pts[reference_frame].copy()
+    canonical_invalid = occ[reference_frame].copy()
+    tformed = np.zeros_like(pts)
+    tformed[reference_frame] = canonical
+    invalid = np.ones_like(occ)
+    invalid[reference_frame] = canonical_invalid
+    err = np.zeros((t, n))
+    homogs = [None] * t
+    homogs[reference_frame] = np.eye(3)
+
+    order = (list(range(reference_frame + 1, t))
+             + list(range(reference_frame - 1, -1, -1)))
+    for f in order:
+        vis = (~occ[f]) & (~canonical_invalid)
+        if vis.sum() > 4:
+            hm = _ransac_fit(pts[f], canonical, vis.astype(np.float64),
+                             thresh, targ_inlier_frac, rng)
+        else:
+            hm = np.eye(3)
+        err[f], tformed[f] = _homography_errors(hm, pts[f], canonical)
+        invalid[f] = occ[f]
+        homogs[f] = hm
+        canonical, canonical_invalid = _update_canonical(
+            tformed, invalid, err, thresh, outer_thresh,
+            outlier_point_threshold, rng)
+
+    for _ in range(num_refinement_passes):
+        for f in [reference_frame] + order:
+            e, _ = _homography_errors(homogs[f], pts[f], canonical)
+            good = ~(canonical_invalid | occ[f] | (e > t2))
+            if good.sum() > 4:
+                homogs[f] = _fit_homography_dlt(
+                    pts[f], canonical, good.astype(np.float64))
+            err[f], tformed[f] = _homography_errors(homogs[f], pts[f],
+                                                    canonical)
+            canonical, canonical_invalid = _update_canonical(
+                tformed, invalid, err, thresh, outer_thresh,
+                outlier_point_threshold, rng)
+
+    # pixel-in / pixel-out convention (matches plot_tracks_tails):
+    # normalize -> H (to canonical normalized coords) -> denormalize
+    s = np.diag([1.0 / wh[0], 1.0 / wh[1], 1.0])
+    s_inv = np.diag([wh[0], wh[1], 1.0])
+    out = np.stack([s_inv @ h @ s for h in homogs], axis=0)
+    # fix scale: an H is defined up to scale; normalize so H[2,2] ~= 1 when
+    # well-conditioned (keeps chaining inv(H_i) @ H_j stable)
+    denom = out[:, 2:3, 2:3]
+    denom = np.where(np.abs(denom) < 1e-12, 1.0, denom)
+    out = out / denom
+    return out, np.transpose(err), canonical * wh
+
+
 def plot_tracks_tails(video_thwc: np.ndarray, tracks: np.ndarray,
                       occluded: np.ndarray, homogs: Optional[np.ndarray] = None,
                       point_size: int = 4, linewidth: int = 1,

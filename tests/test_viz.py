@@ -65,6 +65,61 @@ def test_estimate_homographies_low_inlier_fallback():
     np.testing.assert_allclose(pts, base, atol=0.5)
 
 
+def test_canonical_homographies_recover_pan():
+    """Canonical-point estimator (reference get_homographies_wrt_frame,
+    viz_utils_tapir.py:499-662): a pure camera pan must be undone — every
+    frame's homography maps its points onto the canonical positions."""
+    n, t, w, h = 120, 6, 320, 240
+    base = RNG.random((n, 2)).astype(np.float64) * [w * 0.7, h * 0.7] + \
+        [w * 0.1, h * 0.1]
+    shifts = np.stack([np.arange(t) * 6.0, np.arange(t) * -4.0], -1)
+    tracks = base[:, None, :] + shifts[None]
+    occ = np.zeros((n, t), bool)
+    homogs, err, canon = viz.estimate_homographies_canonical(
+        tracks, occ, image_dimensions=(w, h), reference_frame=0)
+    assert homogs.shape == (t, 3, 3) and canon.shape == (n, 2)
+    # canonical points converge to the reference-frame positions
+    np.testing.assert_allclose(canon, base, atol=0.5)
+    for f in range(t):
+        pts = viz._apply_homography(tracks[:, f], homogs[f])
+        np.testing.assert_allclose(pts, base, atol=0.5, err_msg=f"frame {f}")
+    assert (err < (0.07 / 2) ** 2).all()
+
+
+def test_canonical_homographies_outliers_and_partial_visibility():
+    """30% gross outliers + points never visible at the reference frame:
+    RANSAC with evolving canonical points must still register every frame
+    (the canonical average lets non-reference-visible points contribute
+    through intermediate frames — the advantage over the direct cv2 path)."""
+    n, t, w, h = 150, 7, 320, 240
+    base = RNG.random((n, 2)).astype(np.float64) * [w * 0.7, h * 0.7] + \
+        [w * 0.1, h * 0.1]
+    shifts = np.stack([np.arange(t) * 8.0, np.arange(t) * 4.0], -1)
+    tracks = base[:, None, :] + shifts[None]
+    n_out = int(n * 0.3)
+    tracks[:n_out] = RNG.random((n_out, t, 2)) * [w, h]
+    occ = np.zeros((n, t), bool)
+    occ[n_out:n_out + 30, :2] = True  # 30 inliers hidden at ref frame 0
+    homogs, _, _ = viz.estimate_homographies_canonical(
+        tracks, occ, image_dimensions=(w, h), reference_frame=0)
+    assert np.isfinite(homogs).all()
+    for f in range(t):
+        pts = viz._apply_homography(tracks[n_out:, f], homogs[f])
+        np.testing.assert_allclose(pts, base[n_out:], atol=1.5,
+                                   err_msg=f"frame {f}")
+
+
+def test_canonical_homographies_default_reference_is_middle():
+    """No reference_frame -> t//2, whose homography is the identity."""
+    n, t, w, h = 60, 5, 160, 120
+    base = RNG.random((n, 2)).astype(np.float64) * [w * 0.8, h * 0.8]
+    tracks = np.repeat(base[:, None, :], t, axis=1)
+    occ = np.zeros((n, t), bool)
+    homogs, _, _ = viz.estimate_homographies_canonical(
+        tracks, occ, image_dimensions=(w, h))
+    np.testing.assert_allclose(homogs[t // 2], np.eye(3), atol=1e-9)
+
+
 def test_filter_bg_trajectories():
     n, t = 200, 8
     traj = RNG.random((n, t, 2)).astype(np.float32) * 100
