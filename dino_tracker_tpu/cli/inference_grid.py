@@ -13,6 +13,8 @@ def main():
     parser.add_argument("--interval", type=int, default=10)
     parser.add_argument("--use-segm-mask", action="store_true", default=False)
     parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--devices", type=int, default=0,
+                        help="shard work over the first N devices (jax.sharding.Mesh); 0 = single device")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -20,7 +22,8 @@ def main():
     from ..runtime import DINOTrackerRuntime
 
     cfg = TrainConfig.from_yaml(args.config)
-    rt = DINOTrackerRuntime(args.data_path, cfg)
+    rt = DINOTrackerRuntime(args.data_path, cfg,
+                            mesh_devices=args.devices)
     rt.infer_grid(interval=args.interval, start_frame=args.start_frame,
                   use_segm_mask=args.use_segm_mask, step=args.iter,
                   chunk=args.batch_size)

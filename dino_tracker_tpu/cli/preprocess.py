@@ -18,6 +18,9 @@ def main():
                         help="princeton-vl RAFT checkpoint (raft-things.pth)")
     parser.add_argument("--dino-checkpoint", default=None,
                         help="DINOv2 state-dict checkpoint (.pth/.npz)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="shard work over the first N devices "
+                             "(jax.sharding.Mesh); 0 = single device")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -40,8 +43,14 @@ def main():
         vit_params, vit_cfg = load_dinov2_checkpoint(args.dino_checkpoint,
                                                      cfg.dino_model_name)
 
+    mesh = None
+    if args.devices:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
+
     PreprocessingPipeline(args.data_path, cfg, raft_params=raft_params,
-                          vit_params=vit_params, vit_cfg=vit_cfg).run()
+                          vit_params=vit_params, vit_cfg=vit_cfg,
+                          mesh=mesh).run()
 
 
 if __name__ == "__main__":

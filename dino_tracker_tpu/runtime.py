@@ -35,10 +35,18 @@ class DINOTrackerRuntime:
     data_path: str
     cfg: TrainConfig
     seed: int = 2
+    # number of chips to shard over (0 = single device). Turns on the
+    # mesh-sharded train/inference paths (parallel/mesh.py) — the point
+    # batch, frame, and flat-prediction axes shard over the ``data`` axis
+    mesh_devices: int = 0
 
     def __post_init__(self):
         from .utils.compile_cache import enable_compilation_cache
         enable_compilation_cache()
+        self.mesh = None
+        if self.mesh_devices:
+            from .parallel.mesh import make_mesh
+            self.mesh = make_mesh(self.mesh_devices)
         self.paths = add_config_paths(self.data_path)
         self.tcfg = TrackerConfig(
             video_h=self.cfg.video_resh, video_w=self.cfg.video_resw,
@@ -92,7 +100,8 @@ class DINOTrackerRuntime:
         trainer = train_lib.Trainer(cfg=self.cfg, tcfg=self.tcfg, data=data,
                                     ckpt_folder=self.paths["ckpt_folder"],
                                     seed=self.seed,
-                                    bank_rotator=self._rotator)
+                                    bank_rotator=self._rotator,
+                                    mesh=self.mesh)
         return trainer.train()
 
     # ------------------------------------------------------------------
@@ -113,7 +122,7 @@ class DINOTrackerRuntime:
             anchor_cosine_similarity_threshold=
                 self.cfg.anchor_cosine_similarity_threshold,
             cosine_similarity_threshold=self.cfg.cosine_similarity_threshold,
-            chunk=chunk)
+            chunk=chunk, mesh=self.mesh)
 
     # ------------------------------------------------------------------
     def infer_benchmark(self, benchmark_pickle_path: str, video_id: int,

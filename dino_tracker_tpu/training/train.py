@@ -190,6 +190,7 @@ class Trainer:
     ckpt_folder: str
     seed: int = 2
     bank_rotator: Optional[object] = None  # sampler.BankRotator for long videos
+    mesh: Optional[object] = None  # jax.sharding.Mesh: shard batch over chips
 
     def __post_init__(self):
         self._steps = {}
@@ -204,6 +205,7 @@ class Trainer:
         if key not in self._steps:
             self._steps[key] = make_train_step(self.cfg, self.tcfg,
                                                use_cyc, use_cl_ref,
+                                               mesh=self.mesh,
                                                steps_per_call=n,
                                                fg_batch=fg_batch)
         return self._steps[key]
@@ -247,7 +249,12 @@ class Trainer:
         while i < self.cfg.total_iterations:
             n = self._next_chunk(i, log_interval)
             key, sub = jax.random.split(key)
-            state, metrics = self._step_fn(i, n)(state, self.data, sub)
+            step = self._step_fn(i, n)
+            if self.mesh is not None:
+                with self.mesh:
+                    state, metrics = step(state, self.data, sub)
+            else:
+                state, metrics = step(state, self.data, sub)
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + v * n
             running_n += n
