@@ -344,8 +344,17 @@ def attention_maps(params, frames_nchw, cfg: ViTConfig, stride: int,
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + interpolate_pos_embed(params, grid_hw, cfg)
-    for i in range(layer):
-        x, _ = vit_block(params["blocks"][i], x, cfg, attn_impl="xla")
+    if layer > 0:
+        # scan the prefix blocks like forward_features does — python-
+        # unrolling e.g. 23 ViT-L blocks into one XLA graph is the exact
+        # compile-time hazard the scan exists to avoid
+        stacked = stack_block_params(params["blocks"][:layer])
+
+        def body(x, blk):
+            x, _ = vit_block(blk, x, cfg, attn_impl="xla")
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, stacked)
     block = params["blocks"][layer]
     y = layer_norm(x, block["norm1"], cfg.ln_eps)
     qkv = y @ block["attn"]["qkv"]["w"] + block["attn"]["qkv"]["b"]

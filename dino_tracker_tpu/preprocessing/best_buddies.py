@@ -26,11 +26,14 @@ loop.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..ops.nms import nms_top2_peaks
 from ..parallel.mesh import constrain_batch, pad_to_multiple
@@ -81,10 +84,15 @@ def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
         top_idx = jnp.concatenate(
             [top_idx, jnp.zeros((cap - k,), top_idx.dtype)])
     valid = jnp.isfinite(top_vals)
+    # true (pre-cap) mutual-NN count: the reference keeps ALL pairs as
+    # ragged lists (extract_dino_best_buddies.py:26-44) — report how many
+    # the fixed capacity would drop so the cap is never silent
+    count = jnp.sum(is_bb).astype(jnp.int32)
     return (top_idx.astype(jnp.int32),
             src_max[top_idx].astype(jnp.int32),
             jnp.where(valid, top_vals, 0.0),
-            valid)
+            valid,
+            count)
 
 
 # budget for the P×n×n f32 affinity working set of one batched sweep call
@@ -96,7 +104,8 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
                          compute_dtype=jnp.float32,
                          progress: bool = False,
                          unfiltered_trajectories: Optional[np.ndarray] = None,
-                         pair_batch: int = 8, mesh=None) -> BBData:
+                         pair_batch: int = 8, mesh=None,
+                         telemetry: Optional[dict] = None) -> BBData:
     """Mutual-NN sweep over all frame pairs -> BBData (reference
     extract_dino_best_buddies.py:13-54).
 
@@ -104,6 +113,12 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
     inside the sweep, before the capacity cap. ``pair_batch`` unordered
     pairs run per dispatch (vmapped, HBM-budgeted); with ``mesh`` the pair
     axis shards across chips.
+
+    ``telemetry`` (optional dict, filled in-place) receives capacity-cap
+    truncation stats: the reference keeps every mutual-NN pair as a ragged
+    list, so any pair whose true (post-filter) count exceeds ``cap`` is
+    recorded — truncated_pairs / total_pairs / max_count / truncated_frac —
+    and logged, so the fixed-shape cap is never silent.
     """
     t, c = features_tchw.shape[:2]
     grid = bb_meshgrid(h, w, stride, patch_size)  # n×2
@@ -149,6 +164,7 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
     tgt_c = np.zeros((t, t, cap, 2), np.float32)
     cos = np.zeros((t, t, cap), np.float32)
     valid = np.zeros((t, t, cap), bool)
+    counts = []  # true pre-cap mutual-NN count per unordered pair
     grid_np = np.asarray(grid)
 
     pairs = np.asarray([(s, u) for s in range(t) for u in range(s + 1, t)],
@@ -161,7 +177,7 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
     for b0 in batches:
         chunk = pairs[b0:b0 + bsz]
         padded = pad_to_multiple(chunk, bsz)
-        si_b, ti_b, cs_b, va_b = map(
+        si_b, ti_b, cs_b, va_b, ct_b = map(
             np.asarray, dispatch(padded[:, 0], padded[:, 1]))
         for j, (s, u) in enumerate(chunk):
             si, ti, cs, va = si_b[j], ti_b[j], cs_b[j], va_b[j]
@@ -174,6 +190,23 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
             tgt_c[u, s] = grid_np[si]
             cos[u, s] = cs
             valid[u, s] = va
+            counts.append(int(ct_b[j]))
+
+    counts = np.asarray(counts, np.int64)
+    stats = {
+        "cap": int(cap),
+        "total_pairs": int(counts.size),
+        "truncated_pairs": int(np.sum(counts > cap)),
+        "truncated_frac": float(np.mean(counts > cap)) if counts.size else 0.0,
+        "max_count": int(counts.max()) if counts.size else 0,
+        "mean_count": float(counts.mean()) if counts.size else 0.0,
+    }
+    if telemetry is not None:
+        telemetry.update(stats)
+    log = logger.warning if stats["truncated_pairs"] else logger.info
+    log("best-buddy capacity cap=%d: %d/%d frame pairs truncated "
+        "(max mutual-NN count %d, mean %.1f)", cap, stats["truncated_pairs"],
+        stats["total_pairs"], stats["max_count"], stats["mean_count"])
 
     return BBData(jnp.asarray(src_c), jnp.asarray(tgt_c), jnp.asarray(cos),
                   jnp.ones((t, t, cap), jnp.float32), jnp.asarray(valid))
@@ -239,22 +272,24 @@ def of_filter_best_buddies(bb: BBData, trajectories_nt2: np.ndarray,
     closest_grids = closest.reshape(t, gh, gw)
     invalid = np.isnan(trajectories_nt2).any(axis=-1)  # N×T
 
-    src = np.asarray(bb.source_coords)
+    src = np.asarray(bb.source_coords)  # t×t×cap×2
     tgt = np.asarray(bb.target_coords)
-    valid = np.asarray(bb.valid).copy()
-    for s in range(t):
-        for u in range(t):
-            if s == u:
-                continue
-            # pixel coords -> feature-grid indices ((x - patch/2) // stride)
-            sidx = ((src[s, u] - half) // stride).astype(np.int64)
-            tidx = ((tgt[s, u] - half) // stride).astype(np.int64)
-            sidx = np.clip(sidx, 0, [gw - 1, gh - 1])
-            tidx = np.clip(tidx, 0, [gw - 1, gh - 1])
-            s_traj = closest_grids[s, sidx[:, 1], sidx[:, 0]]
-            t_traj = closest_grids[u, tidx[:, 1], tidx[:, 0]]
-            keep = invalid[s_traj, u] & invalid[t_traj, s]
-            valid[s, u] &= keep
+    # pixel coords -> feature-grid indices ((x - patch/2) // stride),
+    # batched over every (s, u, buddy) at once — the per-pair python double
+    # loop was O(T²·cap) host work at production scale
+    sidx = ((src - half) // stride).astype(np.int64)
+    tidx = ((tgt - half) // stride).astype(np.int64)
+    sx = np.clip(sidx[..., 0], 0, gw - 1)
+    sy = np.clip(sidx[..., 1], 0, gh - 1)
+    tx = np.clip(tidx[..., 0], 0, gw - 1)
+    ty = np.clip(tidx[..., 1], 0, gh - 1)
+    s_ax = np.arange(t)[:, None, None]  # source-frame index, bcast t×t×cap
+    u_ax = np.arange(t)[None, :, None]  # target-frame index
+    s_traj = closest_grids[s_ax, sy, sx]  # t×t×cap
+    t_traj = closest_grids[u_ax, ty, tx]
+    keep = invalid[s_traj, u_ax] & invalid[t_traj, s_ax]
+    off_diag = s_ax != u_ax
+    valid = np.asarray(bb.valid) & (keep | ~off_diag)
     return bb._replace(valid=jnp.asarray(valid))
 
 

@@ -19,6 +19,7 @@ Stages:
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 from typing import Optional
@@ -168,10 +169,19 @@ class PreprocessingPipeline:
         stride = self.cfg.dino_stride
         features = jnp.asarray(features)  # no-op when already on device
         # OF-gap filter runs fused inside the sweep, BEFORE the capacity cap
+        telemetry: dict = {}
         bb = bb_lib.extract_best_buddies(
             features, h, w, stride,
             cap=self.cfg.bb_max_pairs_per_frame_pair, progress=self.progress,
-            unfiltered_trajectories=unfiltered_trajs, mesh=self.mesh)
+            unfiltered_trajectories=unfiltered_trajs, mesh=self.mesh,
+            telemetry=telemetry)
+        # persist the capacity-cap truncation stats next to the artifact —
+        # the reference keeps all mutual-NN pairs (ragged lists); our fixed
+        # cap must never truncate silently
+        os.makedirs(self.paths["dino_bb_dir"], exist_ok=True)
+        with open(os.path.join(self.paths["dino_bb_dir"],
+                               "bb_truncation.json"), "w") as f:
+            json.dump(telemetry, f, indent=1)
         bb = bb_lib.compute_bb_ambiguity(
             bb, features, h, w, stride,
             box_size=float(self.cfg.dino_bb_box_size),

@@ -32,10 +32,17 @@ def masked_gumbel_topk(key, mask, k: int):
     Equivalent to torch ``randperm(count)[:k]`` over the masked subset
     (Gumbel top-k over a flat mask). Returns (indices [k], valid [k]) —
     ``valid[i]`` is False for slots beyond the masked population size.
+    When the candidate array itself is smaller than ``k`` (tiny-scale
+    configs where the BB capacity < points-per-pair), the surplus slots
+    are returned as invalid instead of tripping top_k's k<=n requirement.
     """
     n = mask.shape[0]
     scores = jax.random.gumbel(key, (n,)) + jnp.where(mask, 0.0, -jnp.inf)
-    vals, idx = jax.lax.top_k(scores, k)
+    vals, idx = jax.lax.top_k(scores, min(k, n))
+    if n < k:
+        idx = jnp.concatenate([idx, jnp.zeros((k - n,), idx.dtype)])
+        vals = jnp.concatenate([vals, jnp.full((k - n,), -jnp.inf,
+                                               vals.dtype)])
     return idx, jnp.isfinite(vals)
 
 

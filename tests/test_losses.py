@@ -113,6 +113,16 @@ def test_masked_gumbel_topk_uniformity_and_validity():
     assert np.asarray(valid).sum() == 3
     assert mask2[np.asarray(idx)[np.asarray(valid)]].all()
 
+    # candidate ARRAY smaller than k (tiny-scale BB banks): static shape
+    # stays k, surplus slots invalid, no top_k k<=n error
+    mask3 = np.asarray([True, False, True])
+    idx, valid = losses.masked_gumbel_topk(jax.random.PRNGKey(1),
+                                           jnp.asarray(mask3), k)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert idx.shape == (k,) and valid.shape == (k,)
+    assert valid.sum() == 2
+    assert mask3[idx[valid]].all()
+
 
 def test_mutual_nn_brute_force():
     n, m, c = 30, 25, 8

@@ -141,6 +141,7 @@ def test_parity_gate_fails_on_mismatched_features(harness_env, capsys):
     assert rc == 1
 
 
+@pytest.mark.slow
 def test_harness_e2e_emits_eval_csv(harness_env, capsys):
     root = harness_env
     rc = run_harness([

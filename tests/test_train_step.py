@@ -50,6 +50,7 @@ CFG = TrainConfig(train_batch_size=32, batch_n_frames=4,
                   total_iterations=10, checkpoint_interval=1000)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_cyc,use_cl_ref", [(False, False), (True, True)])
 def test_train_step_runs_and_is_finite(use_cyc, use_cl_ref):
     tcfg, data = make_video_data()
@@ -70,6 +71,7 @@ def test_train_step_runs_and_is_finite(use_cyc, use_cl_ref):
     assert np.abs(dd_b - dd_a).max() > 0
 
 
+@pytest.mark.slow
 def test_multi_step_loss_decreases_on_easy_task():
     """Distinct per-position features shared across frames + static
     trajectories -> tracking is solvable; loss_of should drop."""
@@ -108,6 +110,7 @@ def test_multi_step_loss_decreases_on_easy_task():
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from dino_tracker_tpu.training import checkpoint as ck
     tcfg, data = make_video_data()
@@ -133,6 +136,7 @@ def test_lr_schedule_matches_reference():
     assert abs(dd_lr(10000) - 0.01 * 0.999 ** 250) < 1e-9
 
 
+@pytest.mark.slow
 def test_train_step_bf16_compute_path():
     """bf16 conv/matmul path runs and yields finite, f32-close losses."""
     import dataclasses
