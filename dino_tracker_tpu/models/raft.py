@@ -172,16 +172,39 @@ def build_corr_pyramid(fmap1_nhwc, fmap2_nhwc):
     return pyramid
 
 
-def pad_pyramid_for_lookup(pyramid):
-    """Pre-pad every level into the window-gather kernel's final layout
-    (border + lane-128 + row-block in one copy) BEFORE the GRU loop.
+def _default_lookup_impl() -> str:
+    """einsum on TPU (dense one-hot contractions, ~4x the DMA-gather
+    kernel — see corr_lookup), per-row gather elsewhere."""
+    return "einsum" if jax.default_backend() == "tpu" else "gather"
 
-    Padding inside the loop body relies on XLA hoisting multi-GB pad copies
-    out of the while loop; doing it here guarantees exactly one pad per
-    decode and lets XLA pick the consumer-friendly layout up front.
-    Returns [(volp_or_vol, (hl, wl), is_padded), ...]; degenerate tiny
+
+def prepare_pyramid_for_lookup(pyramid, impl: Optional[str] = None):
+    """Put pyramid levels into ``corr_lookup``'s preferred resident layout
+    once, BEFORE the GRU loop.
+
+    impl="einsum": raw (N, hl, wl) volumes — the one-hot contractions need
+    no padding at all (out-of-range window rows/cols simply match nothing),
+    so the multi-GB pad copies of the gather layout disappear entirely.
+    impl="gather": the Pallas window-gather kernel's final layout (border +
+    lane-128 + row-block pad in one copy; padding inside the loop body
+    would rely on XLA hoisting the copies out of the while loop).
+
+    Returns [(vol, (hl, wl), is_kernel_padded), ...]; degenerate tiny
     levels (tests only) stay raw for the grid-sample tap path.
     """
+    impl = impl or _default_lookup_impl()
+    if impl == "einsum":
+        out = []
+        for vol in pyramid:
+            hl, wl = vol.shape[-2:]
+            out.append((vol.reshape(vol.shape[0], hl, wl)
+                        if hl >= 2 and wl >= 2 else vol, (hl, wl), False))
+        return out
+    return pad_pyramid_for_lookup(pyramid)
+
+
+def pad_pyramid_for_lookup(pyramid):
+    """Gather-kernel layout variant of ``prepare_pyramid_for_lookup``."""
     from ..ops.window_gather import BLOCK as _GATHER_BLOCK
     r = CORR_RADIUS
     pad = 2 * r + 2
@@ -234,24 +257,54 @@ def _window_patches(volp, sy, sx, side: int):
     return window_gather_reference(volp[: sy.shape[0]], sy, sx, side=side)
 
 
-def corr_lookup(pyramid, coords_b2hw):
+def _einsum_window(vol_nhw, sy, sx, side: int):
+    """Window extraction as two one-hot contractions (the TPU-default
+    lookup): rows = R @ map, patch = rows @ C^T with R[p,k,h] = (h==sy+k),
+    C[p,j,w] = (w==sx+j).
+
+    Pure dense math — no per-pixel serial loop: the per-row DMA gather
+    kernel (ops/window_gather.py) issues ~205k strip copies per GRU iter at
+    production shape and is DMA-issue bound at 23.4 ms/iter; this measures
+    5.8 ms/iter, bitwise-equal output. Out-of-range rows/cols match no
+    one-hot entry and contribute exact zeros — grid_sample zeros-padding
+    semantics with no volume padding at all.
+    """
+    n = sy.shape[0]
+    hl, wl = vol_nhw.shape[-2:]
+    ks = jnp.arange(side, dtype=jnp.int32)
+    hh = jnp.arange(hl, dtype=jnp.int32)
+    ww = jnp.arange(wl, dtype=jnp.int32)
+    dtype = vol_nhw.dtype
+    sel_r = (sy[:, None, None] + ks[None, :, None]
+             == hh[None, None, :]).astype(dtype)      # (n, side, hl)
+    sel_c = (sx[:, None, None] + ks[None, :, None]
+             == ww[None, None, :]).astype(dtype)      # (n, side, wl)
+    rows = jnp.einsum("pkh,phw->pkw", sel_r, vol_nhw[:n],
+                      preferred_element_type=dtype)
+    return jnp.einsum("pkw,pjw->pkj", rows, sel_c,
+                      preferred_element_type=dtype)   # (n, side, side)
+
+
+def corr_lookup(pyramid, coords_b2hw, impl: Optional[str] = None):
     """Sample 9×9 windows at coords/2^l per level -> B×(4·81)×h×w.
 
-    TPU formulation: the naive per-tap gather (81 taps × 4 bilinear corners
-    × 4 levels of scalar gathers) is the measured decode dominator — XLA
-    emits scalar-gather fusions running at ~1 GiB/s, ~95% of raft_decode
-    wall clock. Since all 81 window taps share one fractional offset, we
-    instead extract ONE contiguous (2r+2)² patch per source pixel with a
-    vmapped ``dynamic_slice`` from a zero-padded volume and combine the four
-    integer-shifted sub-patches with the shared bilinear weights —
-    numerically identical to grid_sample(zeros padding), but the memory
-    access is 100-element contiguous blocks instead of scattered scalars.
+    The naive per-tap formulation (81 taps × 4 bilinear corners × 4 levels
+    of scalar gathers) is the measured decode dominator — XLA emits
+    scalar-gather fusions running at ~1 GiB/s, ~95% of raft_decode wall
+    clock. Since all 81 window taps share one fractional offset, we instead
+    extract ONE contiguous (2r+2)² patch per source pixel — impl="einsum"
+    (TPU default) via two one-hot contractions (``_einsum_window``),
+    impl="gather" via the Pallas per-row DMA kernel / vmapped
+    ``dynamic_slice`` — and combine the four integer-shifted sub-patches
+    with the shared bilinear weights. Both are numerically identical to
+    grid_sample(zeros padding).
 
     Window-channel layout matches princeton-vl/torchvision: channel
     k = i*9+j samples (x + d[i], y + d[j]) — the delta grid's FIRST meshgrid
     axis is the x offset; trained motion-encoder weights expect exactly this
     (transposed-looking) layout, hence the patch transpose below.
     """
+    impl = impl or _default_lookup_impl()
     b2, _, h, w = coords_b2hw.shape
     coords = jnp.transpose(coords_b2hw, (0, 2, 3, 1))  # B×h×w×2
     r = CORR_RADIUS
@@ -284,29 +337,39 @@ def corr_lookup(pyramid, coords_b2hw):
             out.append(sampled.reshape(b2, h, w, -1))
             continue
 
-        if pre_padded:
-            volp = vol
-        else:
-            # one fused pad to the kernel's final layout (prefer
-            # pad_pyramid_for_lookup, which runs it outside the GRU loop)
-            from ..ops.window_gather import BLOCK as _GATHER_BLOCK
-            w_total = -(-(wl + 2 * pad) // 128) * 128
-            n_total = -(-n // _GATHER_BLOCK) * _GATHER_BLOCK
-            volp = jnp.pad(vol.reshape(n, hl, wl),
-                           ((0, n_total - n), (pad, pad),
-                            (pad, w_total - wl - pad)))
         c = coords.reshape(-1, 2) / (2 ** lvl)  # (N, 2) pixel (x, y)
         # clamp just past the all-outside boundary: windows beyond it read
-        # only zero padding, matching grid_sample zeros semantics exactly
+        # only zeros (pad region / no one-hot match), matching grid_sample
+        # zeros semantics exactly
         cx = jnp.clip(c[:, 0], -(r + 1.0), wl - 1 + r + 1.0)
         cy = jnp.clip(c[:, 1], -(r + 1.0), hl - 1 + r + 1.0)
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
         fx = (cx - x0).astype(vol.dtype)
         fy = (cy - y0).astype(vol.dtype)
-        sx = (x0 - r + pad).astype(jnp.int32)
-        sy = (y0 - r + pad).astype(jnp.int32)
-        patch = _window_patches(volp, sy, sx, side)  # N×10×10 (y, x) taps
+        if impl == "einsum":
+            if pre_padded:  # kernel layout handed to the einsum path:
+                vol = vol[:, pad:pad + hl, pad:pad + wl]  # recover raw rows
+            else:
+                vol = vol.reshape(-1, hl, wl)
+            sx = (x0 - r).astype(jnp.int32)
+            sy = (y0 - r).astype(jnp.int32)
+            patch = _einsum_window(vol, sy, sx, side)  # N×10×10 (y, x)
+        else:
+            if pre_padded:
+                volp = vol
+            else:
+                # one fused pad to the kernel's final layout (prefer
+                # prepare_pyramid_for_lookup, which runs it outside the loop)
+                from ..ops.window_gather import BLOCK as _GATHER_BLOCK
+                w_total = -(-(wl + 2 * pad) // 128) * 128
+                n_total = -(-n // _GATHER_BLOCK) * _GATHER_BLOCK
+                volp = jnp.pad(vol.reshape(n, hl, wl),
+                               ((0, n_total - n), (pad, pad),
+                                (pad, w_total - wl - pad)))
+            sx = (x0 - r + pad).astype(jnp.int32)
+            sy = (y0 - r + pad).astype(jnp.int32)
+            patch = _window_patches(volp, sy, sx, side)  # N×10×10 (y, x)
         # Bilinear combine as ONE static one-hot matmul: elementwise ops on
         # (N, 10, 10) run at 10/128 lane utilization (measured ~11 ms/iter
         # of pure VPU waste); (N, 100) @ (100, 4·81) extracts all four
@@ -496,7 +559,7 @@ def raft_decode(params, fmap1, fmap2, net, inp, num_iters: int = 24):
     coordinate accumulation stay f32 in either mode."""
     b, h8, w8, _ = fmap1.shape
     cdtype = net.dtype
-    pyramid = pad_pyramid_for_lookup(build_corr_pyramid(fmap1, fmap2))
+    pyramid = prepare_pyramid_for_lookup(build_corr_pyramid(fmap1, fmap2))
     coords0 = _coords_grid(b, h8, w8)
     up = params["update"]
 

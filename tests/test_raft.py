@@ -319,3 +319,31 @@ def test_lane_padded_update_block_exact():
                     up["flow_head"]["conv2"], padding=1)
     np.testing.assert_allclose(np.asarray(ours_fh), np.asarray(ref_fh),
                                atol=2e-5)
+
+
+def test_corr_lookup_einsum_matches_gather():
+    """The TPU-default einsum lookup (one-hot contractions, no volume
+    padding) must equal the gather path exactly — including windows
+    partially and fully outside the volume (grid_sample zeros padding),
+    for both the raw-einsum and kernel-padded resident layouts."""
+    b, h, w, c = 2, 7, 9, 8
+    f1 = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    pyramid = raft.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+    # off-grid coords with far out-of-bounds entries in every direction
+    coords = np.array(raft._coords_grid(b, h, w), np.float32)
+    coords += RNG.normal(0, 1.3, coords.shape).astype(np.float32)
+    coords[0, :, 0, 0] = -14.2   # fully outside (negative)
+    coords[0, :, -1, -1] = 40.7  # fully outside (positive)
+    coords[1, :, 0, 1] = -4.4    # partially outside
+    coords = jnp.asarray(coords)
+
+    ref = np.asarray(raft.corr_lookup(pyramid, coords, impl="gather"))
+
+    raw = raft.prepare_pyramid_for_lookup(pyramid, impl="einsum")
+    got = np.asarray(raft.corr_lookup(raw, coords, impl="einsum"))
+    np.testing.assert_array_equal(got, ref)
+
+    padded = raft.prepare_pyramid_for_lookup(pyramid, impl="gather")
+    got2 = np.asarray(raft.corr_lookup(padded, coords, impl="einsum"))
+    np.testing.assert_array_equal(got2, ref)
