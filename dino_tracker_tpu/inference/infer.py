@@ -72,15 +72,20 @@ class ModelInference:
 
         # the refined feature video and params enter the jitted fns as
         # ARGUMENTS — closing over them would bake GB-scale constants into
-        # the compiled programs
-        def predict(params, refined, source_points, source_frames,
+        # the compiled programs. The FrameView (compute-dtype cast + norms of
+        # the full T-frame cache) is built once here instead of per dispatch.
+        self._view = tracker.make_frame_view(self.refined_features,
+                                             jnp.dtype(self.cfg.compute_dtype))
+
+        def predict(params, refined, view, source_points, source_frames,
                     target_frames):
             """B×3 pixel (x, y, t_abs) → B×2 pixel coords on target frames."""
             inp = TrackerInput(constrain_batch(source_points, mesh),
                                constrain_batch(source_frames, mesh),
                                constrain_batch(target_frames, mesh),
                                frames_set)
-            out = tracker.get_point_predictions(params, inp, refined, self.cfg)
+            out = tracker.get_point_predictions(params, inp, refined, self.cfg,
+                                                view=view)
             return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
 
         _predict = jax.jit(predict)
@@ -88,8 +93,9 @@ class ModelInference:
         def dispatch(p, sp, sf, tf):
             if mesh is not None:
                 with mesh:
-                    return _predict(p, self.refined_features, sp, sf, tf)
-            return _predict(p, self.refined_features, sp, sf, tf)
+                    return _predict(p, self.refined_features, self._view,
+                                    sp, sf, tf)
+            return _predict(p, self.refined_features, self._view, sp, sf, tf)
 
         self._predict = dispatch
 

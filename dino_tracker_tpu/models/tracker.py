@@ -88,8 +88,32 @@ def sample_embeddings(embeddings_nchw, points_b3):
     return sample_feature_video(embeddings_nchw, points_b3, normalize_t=True)
 
 
+class FrameView(NamedTuple):
+    """Per-step precomputed frame-embedding tensors shared by every loss
+    term.
+
+    Each of the ~10 per-step consumers (of-corr, 4 cycle predictions, the
+    contrastive pair losses) otherwise re-flattens, re-casts (f32→compute
+    dtype) and re-norms the same N×C×h'×w' refined stack — at the production
+    shape that stack is 265 MB, so the redundant passes are pure HBM
+    bandwidth. Build once per step with :func:`make_frame_view` and thread
+    through ``view=``.
+    """
+    flat_cd: jnp.ndarray  # N×C×(h'·w'), compute dtype
+    norms: jnp.ndarray    # N×(h'·w'), f32
+
+
+def make_frame_view(frame_embeddings_nchw, compute_dtype=jnp.float32
+                    ) -> FrameView:
+    n, c, h, w = frame_embeddings_nchw.shape
+    flat = frame_embeddings_nchw.reshape(n, c, h * w)
+    return FrameView(flat.astype(compute_dtype),
+                     jnp.linalg.norm(flat, axis=1))
+
+
 def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
-                  target_frame_indices_b, compute_dtype=jnp.float32):
+                  target_frame_indices_b, compute_dtype=jnp.float32,
+                  view: Optional[FrameView] = None):
     """Cosine correlation of each source embedding against its target frame.
 
     Computes the full B×N map stack as one MXU matmul then selects the target
@@ -97,10 +121,11 @@ def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
     models/tracker.py:158-169.
     """
     n, c, h, w = frame_embeddings_nchw.shape
-    frames_flat = frame_embeddings_nchw.reshape(n, c, h * w)
+    if view is None:
+        view = make_frame_view(frame_embeddings_nchw, compute_dtype)
     corr_all = jnp.einsum("bc,nck->bnk",
-                          source_embeddings_bc.astype(compute_dtype),
-                          frames_flat.astype(compute_dtype),
+                          source_embeddings_bc.astype(view.flat_cd.dtype),
+                          view.flat_cd,
                           preferred_element_type=jnp.float32)  # B×N×(hw)
     tgt = target_frame_indices_b.astype(jnp.int32)
     # target selection as a one-hot contraction: backward is a dense outer
@@ -108,8 +133,7 @@ def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
     onehot = jax.nn.one_hot(tgt, n, dtype=corr_all.dtype)  # B×N
     corr = jnp.einsum("bnk,bn->bk", corr_all, onehot)  # B×hw
 
-    frame_norms = jnp.linalg.norm(frames_flat, axis=1)  # N×hw
-    target_norms = jnp.einsum("nk,bn->bk", frame_norms, onehot)  # B×hw
+    target_norms = jnp.einsum("nk,bn->bk", view.norms, onehot)  # B×hw
     source_norms = jnp.linalg.norm(source_embeddings_bc, axis=1)[:, None]
     corr = corr / jnp.clip(source_norms * target_norms, min=EPS)
     return corr.reshape(-1, 1, h, w)
@@ -117,10 +141,12 @@ def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
 
 def get_point_predictions_from_embeddings(params, source_embeddings,
                                           frame_embeddings, target_frame_indices,
-                                          cfg: TrackerConfig):
+                                          cfg: TrackerConfig,
+                                          view: Optional[FrameView] = None):
     corr_maps = get_corr_maps(source_embeddings, frame_embeddings,
                               target_frame_indices,
-                              compute_dtype=jnp.dtype(cfg.compute_dtype))
+                              compute_dtype=jnp.dtype(cfg.compute_dtype),
+                              view=view)
     corr_maps = jax.nn.relu(corr_maps)
     return th.apply_tracker_head(params["tracker_head"], corr_maps,
                                  (cfg.video_h, cfg.video_w),
@@ -129,7 +155,8 @@ def get_point_predictions_from_embeddings(params, source_embeddings,
 
 
 def get_point_predictions(params, inp: TrackerInput, frame_embeddings,
-                          cfg: TrackerConfig):
+                          cfg: TrackerConfig,
+                          view: Optional[FrameView] = None):
     """source points (pixel x, y, ·) -> predicted target coords in (-1, 1)."""
     pts = coord_utils.normalize_points_for_sampling(
         inp.source_points, cfg.video_h, cfg.video_w, cfg.dino_patch_size,
@@ -138,7 +165,8 @@ def get_point_predictions(params, inp: TrackerInput, frame_embeddings,
         [pts[:, :2], inp.source_frame_indices[:, None].astype(pts.dtype)], axis=1)
     source_embeddings = sample_embeddings(frame_embeddings, pts)
     return get_point_predictions_from_embeddings(
-        params, source_embeddings, frame_embeddings, inp.target_frame_indices, cfg)
+        params, source_embeddings, frame_embeddings, inp.target_frame_indices,
+        cfg, view=view)
 
 
 class ForwardAux(NamedTuple):

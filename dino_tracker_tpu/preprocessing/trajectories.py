@@ -169,30 +169,38 @@ def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
     occupied = np.zeros((t, h, w), bool)  # look-behind occupancy
     use_direct = direct_flow_fn is not None
 
+    def padded_direct(start):
+        # RaftFlowEngine.direct_flows returns DEVICE arrays already padded
+        # to tm1 rows (zeros beyond t-1-start) so the whole direct-flow
+        # sweep stays on device; ragged host arrays (tests, alternate
+        # engines) are padded here.
+        dflows_in, dmasks_in = direct_flow_fn(start)
+        n = dflows_in.shape[0]
+        if n == tm1:
+            return jnp.asarray(dflows_in), jnp.asarray(dmasks_in)
+        dflows = jnp.zeros((tm1, h, w, 2), jnp.float32
+                           ).at[:n].set(jnp.asarray(dflows_in))
+        dmasks = jnp.zeros((tm1, h, w), jnp.float32
+                           ).at[:n].set(jnp.asarray(dmasks_in))
+        return dflows, dmasks
+
     collected = []
-    rng = range(t - (min_trajectory_length - 1))
+    starts = list(range(t - (min_trajectory_length - 1)))
+    iterator = starts
     if progress:
         from tqdm import tqdm
-        rng = tqdm(rng, desc="chaining trajectories")
-    for start in rng:
+        iterator = tqdm(starts, desc="chaining trajectories")
+    # double buffer: the next start's direct-flow decode is enqueued (JAX
+    # dispatch is async) before this start's host-blocking fetch/assembly,
+    # overlapping device decode with host work + relay round trips
+    prefetched = padded_direct(starts[0]) if (use_direct and starts) else None
+    for i, start in enumerate(iterator):
         start_mask = ~masks[start]
         if look_behind:
             start_mask = start_mask | ~occupied[start]
 
         if use_direct:
-            # RaftFlowEngine.direct_flows returns DEVICE arrays already
-            # padded to tm1 rows (zeros beyond t-1-start) so the whole
-            # direct-flow sweep stays on device; ragged host arrays (tests,
-            # alternate engines) are padded here.
-            dflows_in, dmasks_in = direct_flow_fn(start)
-            n = dflows_in.shape[0]
-            if n == tm1:
-                dflows, dmasks = jnp.asarray(dflows_in), jnp.asarray(dmasks_in)
-            else:
-                dflows = jnp.zeros((tm1, h, w, 2), jnp.float32
-                                   ).at[:n].set(jnp.asarray(dflows_in))
-                dmasks = jnp.zeros((tm1, h, w), jnp.float32
-                                   ).at[:n].set(jnp.asarray(dmasks_in))
+            dflows, dmasks = prefetched
         else:
             dflows = jnp.zeros((tm1, h, w, 2), jnp.float32)
             dmasks = jnp.zeros((tm1, h, w), jnp.float32)
@@ -202,6 +210,9 @@ def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
             jnp.asarray(start, jnp.int32), dflows, dmasks,
             threshold=threshold, use_direct=use_direct,
             direct_threshold=direct_flow_threshold)
+
+        if use_direct and i + 1 < len(starts):
+            prefetched = padded_direct(starts[i + 1])
 
         # Ragged assembly: the keep decision runs on device and only the
         # kept columns are fetched (the full t×h×w×2 timeline is ~160 MB at

@@ -9,9 +9,13 @@ dino_tracker.py:159-330):
     weighted by 2·aff³.
 
 TPU redesign: ragged pair dicts → padded BBData gathers; per-pair python
-loops → lax-batched pair math with a sequential scan over pairs for the n×n
-affinity (bounds live memory at one 8107² map); randperm subset selection →
-masked Gumbel top-k.
+loops → pair math vmapped over the (4-deep) pair axis — a lax.map here
+serializes four small-matmul iterations and leaves the MXU idle between
+them, while the vmapped batch keeps one big dispatch in flight (live
+memory: n_pairs n×n affinity maps, ~1 GB at production shape — fine in
+16 GB HBM); randperm subset selection → masked Gumbel top-k. Frame slabs
+and per-position norms come from a shared ``tracker.FrameView`` so the
+265 MB refined stack is cast/normed once per step for all loss terms.
 """
 
 from __future__ import annotations
@@ -24,6 +28,8 @@ from ..models.tracker import TrackerConfig
 from ..structures import BBData
 from ..utils import coords as coord_utils
 from . import losses
+
+EPS = 1e-8
 
 
 def _sample_embeddings_at(frame_embeddings, coords_xy, frame_set_idx,
@@ -40,14 +46,15 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
                              fg_masks_thw, cfg: TrackerConfig,
                              n_pairs: int, points_per_pair: int,
                              fg_points_ratio: float, temp: float,
-                             cl_div: float, sig_a: float, sig_b: float):
+                             cl_div: float, sig_a: float, sig_b: float,
+                             view=None):
     """Reference dino_tracker.py:159-243. Returns a scalar loss."""
     set_size = frames_set_t.shape[0]
-    h, w = fg_masks_thw.shape[-2:]
     n_fg = int(points_per_pair * fg_points_ratio)
     n_bg = points_per_pair - n_fg
-    n, c = (frame_embeddings.shape[2] * frame_embeddings.shape[3],
-            frame_embeddings.shape[1])
+    if view is None:
+        view = tracker.make_frame_view(frame_embeddings,
+                                       jnp.dtype(cfg.compute_dtype))
 
     k_src, k_tgt, k_sel = jax.random.split(key, 3)
     src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
@@ -76,19 +83,16 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
                                       jnp.full((sel.shape[0],), src_idx), cfg)
         tgt_f = _sample_embeddings_at(frame_embeddings, tgt_xy[sel],
                                       jnp.full((sel.shape[0],), tgt_idx), cfg)
-        source_frame_f = frame_embeddings[src_idx].reshape(c, n).T
-        target_frame_f = frame_embeddings[tgt_idx].reshape(c, n).T
-        cl1, cl2 = losses.bb_pairs_contrastive_loss(src_f, tgt_f,
-                                                    source_frame_f,
-                                                    target_frame_f, temp)
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+            src_f, tgt_f, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
+            view.norms[src_idx], view.norms[tgt_idx], temp)
         ws = jax.nn.sigmoid(sig_a * (1.0 - r[sel]) + sig_b)
         cos_ws = jnp.clip(2.0 * cos[sel] ** 3, min=0.0)
         wmask = ws * cos_ws * sel_valid
         return jnp.sum((cl1 + cl2) * wmask)
 
     pair_keys = jax.random.split(k_sel, n_pairs)
-    per_pair = jax.lax.map(lambda args: pair_loss(*args),
-                           (pair_keys, src_sel, tgt_sel))
+    per_pair = jax.vmap(pair_loss)(pair_keys, src_sel, tgt_sel)
     # reference: (Σcl1·w + Σcl2·w)/cl_div averaged over the two directions
     return jnp.sum(per_pair) / cl_div / 2.0
 
@@ -97,7 +101,7 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
                                 fg_masks_thw, cfg: TrackerConfig,
                                 n_pairs: int, points_per_pair: int,
                                 fg_points_ratio: float, temp: float,
-                                cl_div: float):
+                                cl_div: float, view=None):
     """Reference dino_tracker.py:245-330. Buddies mined on-the-fly from the
     refined features (affinity under stop_gradient, like torch.no_grad)."""
     set_size = frames_set_t.shape[0]
@@ -105,6 +109,9 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
     n = hp * wp
     n_fg = int(points_per_pair * fg_points_ratio)
     n_bg = points_per_pair - n_fg
+    if view is None:
+        view = tracker.make_frame_view(frame_embeddings,
+                                       jnp.dtype(cfg.compute_dtype))
 
     feat_grid = coord_utils.vit_feature_coords(cfg.video_h, cfg.video_w,
                                                cfg.stride, cfg.dino_patch_size)
@@ -115,13 +122,15 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
     tgt_sel = jax.random.randint(k_tgt, (n_pairs,), 0, set_size)
 
     flat = frame_embeddings.reshape(s, c, n)
+    flat_sg = jax.lax.stop_gradient(view.flat_cd)
+    norms_sg = jax.lax.stop_gradient(view.norms)
 
     def pair_loss(k, src_idx, tgt_idx):
-        source_f = flat[src_idx].T  # n×c
-        target_f = flat[tgt_idx].T
-        aff = losses.cosine_affinity(jax.lax.stop_gradient(source_f),
-                                     jax.lax.stop_gradient(target_f),
-                                     compute_dtype=jnp.dtype(cfg.compute_dtype))
+        # n×n cosine affinity on the (no-grad) compute-dtype slabs
+        aff = jnp.einsum("cn,cm->nm", flat_sg[src_idx], flat_sg[tgt_idx],
+                         preferred_element_type=jnp.float32)
+        aff = aff / jnp.clip(norms_sg[src_idx][:, None]
+                             * norms_sg[tgt_idx][None, :], min=EPS)
         src_is_bb, tgt_of_src = losses.mutual_nn(aff)
 
         sf = frames_set_t[src_idx]
@@ -134,13 +143,15 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
         sel_valid = jnp.concatenate([v_fg, v_bg])
         sel_tgt = tgt_of_src[sel_src]
 
-        cl1, cl2 = losses.bb_pairs_contrastive_loss(
-            source_f[sel_src], target_f[sel_tgt], source_f, target_f, temp)
+        # the selected buddy features keep gradients (f32 gather columns)
+        src_f = flat[src_idx][:, sel_src].T  # k×c
+        tgt_f = flat[tgt_idx][:, sel_tgt].T
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+            src_f, tgt_f, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
+            view.norms[src_idx], view.norms[tgt_idx], temp)
         w_cos = jnp.clip(2.0 * aff[sel_src, sel_tgt] ** 3, min=0.0)
         return jnp.sum((cl1 + cl2) * w_cos * sel_valid)
 
     pair_keys = jax.random.split(k_sel, n_pairs)
-    # sequential over pairs: bounds live memory at one n×n affinity map
-    per_pair = jax.lax.map(lambda args: pair_loss(*args),
-                           (pair_keys, src_sel, tgt_sel))
+    per_pair = jax.vmap(pair_loss)(pair_keys, src_sel, tgt_sel)
     return jnp.sum(per_pair) / (2.0 * cl_div)

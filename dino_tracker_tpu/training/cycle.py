@@ -36,7 +36,8 @@ class CycleData(NamedTuple):
 def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
                         fg_masks_thw, cfg: TrackerConfig,
                         n_pairs: int, points_per_pair: int,
-                        fg_ratio: float, thresh: float) -> CycleData:
+                        fg_ratio: float, thresh: float,
+                        view=None) -> CycleData:
     """No-grad sampling + cycle filtering. All outputs are stop-gradiented."""
     set_size = frames_set_t.shape[0]
     h, w = fg_masks_thw.shape[-2:]
@@ -74,10 +75,14 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
     source_points = jnp.concatenate([coords, src_t[:, None]], axis=1)
 
     emb = jax.lax.stop_gradient(frame_embeddings)
+    if view is None:
+        view = tracker.make_frame_view(emb, jnp.dtype(cfg.compute_dtype))
+    else:
+        view = jax.tree.map(jax.lax.stop_gradient, view)
 
     def predict(points, s_idx, t_idx):
         inp = TrackerInput(points, s_idx, t_idx, frames_set_t)
-        out = tracker.get_point_predictions(params, inp, emb, cfg)
+        out = tracker.get_point_predictions(params, inp, emb, cfg, view=view)
         # (-1,1) -> pixel
         scale = jnp.asarray([cfg.video_w - 1, cfg.video_h - 1], jnp.float32)
         return (out + 1.0) * 0.5 * scale
@@ -93,19 +98,26 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
                            dists, valid)))
 
 
-def cycle_consistency_loss(params, frame_embeddings, frames_set_t,
-                           data: CycleData, cfg: TrackerConfig,
-                           gamma: float, huber_delta: float = 1.0 / 32.0):
-    """Graded re-prediction of both directions, γ^dist-weighted Huber to the
-    (constant) cycle-filtered endpoints (reference dino_tracker.py:346-353)."""
-    st = tracker.get_point_predictions(
-        params, TrackerInput(data.source_points, data.source_frame_indices,
-                             data.target_frame_indices, frames_set_t),
-        frame_embeddings, cfg)
-    ts = tracker.get_point_predictions(
-        params, TrackerInput(data.target_points, data.target_frame_indices,
-                             data.source_frame_indices, frames_set_t),
-        frame_embeddings, cfg)
+def cycle_inputs(data: CycleData, frames_set_t) -> TrackerInput:
+    """Both re-prediction directions as ONE batch — every op in the
+    prediction path (sampling, corr einsum, head) is per-point, so the
+    concatenation is math-identical while halving the kernel count; the
+    train step further concatenates this onto its of-loss batch so the
+    whole phase-2 step issues a single with-grad prediction call."""
+    return TrackerInput(
+        jnp.concatenate([data.source_points, data.target_points]),
+        jnp.concatenate([data.source_frame_indices,
+                         data.target_frame_indices]),
+        jnp.concatenate([data.target_frame_indices,
+                         data.source_frame_indices]),
+        frames_set_t)
+
+
+def cycle_loss_from_preds(both_preds, data: CycleData, cfg: TrackerConfig,
+                          gamma: float, huber_delta: float = 1.0 / 32.0):
+    """Loss formula over the merged st+ts predictions of ``cycle_inputs``."""
+    p = data.source_points.shape[0]
+    st, ts = both_preds[:p], both_preds[p:]
 
     scale = jnp.asarray([cfg.video_w - 1, cfg.video_h - 1], jnp.float32)
     tgt_norm = 2.0 * data.target_points[:, :2] / scale - 1.0
@@ -117,3 +129,15 @@ def cycle_consistency_loss(params, frame_embeddings, frames_set_t,
     loss_ts = jnp.sum(weight[:, None] * losses.huber(ts, src_norm, huber_delta)) / (2 * n)
     loss = (loss_st + loss_ts) / 2.0
     return jnp.where(jnp.sum(data.valid) > 0, loss, 0.0)
+
+
+def cycle_consistency_loss(params, frame_embeddings, frames_set_t,
+                           data: CycleData, cfg: TrackerConfig,
+                           gamma: float, huber_delta: float = 1.0 / 32.0,
+                           view=None):
+    """Graded re-prediction of both directions, γ^dist-weighted Huber to the
+    (constant) cycle-filtered endpoints (reference dino_tracker.py:346-353)."""
+    both = tracker.get_point_predictions(
+        params, cycle_inputs(data, frames_set_t), frame_embeddings, cfg,
+        view=view)
+    return cycle_loss_from_preds(both, data, cfg, gamma, huber_delta)

@@ -65,18 +65,31 @@ def bb_pairs_contrastive_loss(source_bb_f, target_bb_f, source_f, target_f,
     source_bb_f/target_bb_f: B×C sampled buddy features; source_f/target_f:
     n×C full frame features. Returns (loss_s→t [B], loss_t→s [B]).
     """
+    return bb_pairs_contrastive_loss_cn(
+        source_bb_f, target_bb_f, source_f.T, target_f.T,
+        jnp.linalg.norm(source_f, axis=1), jnp.linalg.norm(target_f, axis=1),
+        temp)
+
+
+def bb_pairs_contrastive_loss_cn(source_bb_f, target_bb_f, source_f_cn,
+                                 target_f_cn, source_norms_n, target_norms_n,
+                                 temp: float = 0.5):
+    """``bb_pairs_contrastive_loss`` over C×n frame slabs with precomputed
+    per-position norms (a tracker.FrameView row) — lets the train step reuse
+    one cast+norm pass of the 265 MB refined stack across all loss terms.
+    The frame einsums run in the slab's dtype (the step's compute dtype,
+    matching the corr-map einsum policy); accumulation stays f32."""
     bb_corrs = jnp.einsum("bc,bc->b", source_bb_f, target_bb_f,
                           preferred_element_type=jnp.float32)
-    st = jnp.einsum("bc,nc->bn", source_bb_f, target_f,
+    cd = source_f_cn.dtype
+    st = jnp.einsum("bc,cn->bn", source_bb_f.astype(cd), target_f_cn,
                     preferred_element_type=jnp.float32)
-    ts = jnp.einsum("bc,nc->bn", target_bb_f, source_f,
+    ts = jnp.einsum("bc,cn->bn", target_bb_f.astype(cd), source_f_cn,
                     preferred_element_type=jnp.float32)
     sn = jnp.linalg.norm(source_bb_f, axis=1)
     tn = jnp.linalg.norm(target_bb_f, axis=1)
-    sfn = jnp.linalg.norm(source_f, axis=1)
-    tfn = jnp.linalg.norm(target_f, axis=1)
-    st = st / jnp.clip(sn[:, None] * tfn[None, :], min=EPS)
-    ts = ts / jnp.clip(tn[:, None] * sfn[None, :], min=EPS)
+    st = st / jnp.clip(sn[:, None] * target_norms_n[None, :], min=EPS)
+    ts = ts / jnp.clip(tn[:, None] * source_norms_n[None, :], min=EPS)
     bb_corrs = bb_corrs / jnp.clip(sn * tn, min=EPS)
     # -log(exp(pos/T) / Σ exp(row/T)) == logsumexp(row/T) - pos/T
     loss_st = jax.nn.logsumexp(st / temp, axis=1) - bb_corrs / temp

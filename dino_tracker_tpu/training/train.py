@@ -114,29 +114,49 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                 params, state.batch_stats, data.video, data.dino_embed,
                 sample.frames_set_t, tcfg, train=True)
             refined = constrain_batch(refined, mesh)
-            coords = tracker.get_point_predictions(params, inp, refined, tcfg)
-            l_of = jnp.mean(losses.huber(coords, labels))
-            metrics = {"loss_of": l_of}
-            total = l_of
-
+            # one cast+norm pass of the refined stack, shared by every loss
+            # term (otherwise each re-reads the 265 MB stack to recompute it)
+            view = tracker.make_frame_view(refined,
+                                           jnp.dtype(tcfg.compute_dtype))
+            metrics = {}
             if use_cyc:
+                # ONE with-grad prediction batch for of + both cycle
+                # directions: the prediction path is per-point, so the
+                # concatenation is math-identical while cutting three
+                # corr/head passes to one
                 cyc_data = cycle.generate_cycle_data(
                     k_cyc, params, refined, sample.frames_set_t, data.fg_masks,
                     tcfg, cfg.cyc_n_frames, cfg.cyc_batch_size_per_frame,
-                    cfg.cyc_fg_points_ratio, cfg.cyc_thresh)
-                l_cyc = cycle.cycle_consistency_loss(
-                    params, refined, sample.frames_set_t, cyc_data, tcfg,
-                    cfg.cyc_gamma)
-                metrics["loss_cyc"] = l_cyc
-                total = total + cfg.lambda_cyc * l_cyc
+                    cfg.cyc_fg_points_ratio, cfg.cyc_thresh, view=view)
+                cyc_inp = cycle.cycle_inputs(cyc_data, sample.frames_set_t)
+                b = inp.source_points.shape[0]
+                merged = TrackerInput(
+                    jnp.concatenate([inp.source_points, cyc_inp.source_points]),
+                    jnp.concatenate([inp.source_frame_indices,
+                                     cyc_inp.source_frame_indices]),
+                    jnp.concatenate([inp.target_frame_indices,
+                                     cyc_inp.target_frame_indices]),
+                    sample.frames_set_t)
+                preds = tracker.get_point_predictions(params, merged, refined,
+                                                      tcfg, view=view)
+                coords = preds[:b]
+                l_cyc = cycle.cycle_loss_from_preds(preds[b:], cyc_data, tcfg,
+                                                    cfg.cyc_gamma)
             else:
-                metrics["loss_cyc"] = jnp.asarray(0.0)
+                coords = tracker.get_point_predictions(params, inp, refined,
+                                                       tcfg, view=view)
+                l_cyc = jnp.asarray(0.0)
+            l_of = jnp.mean(losses.huber(coords, labels))
+            metrics["loss_of"] = l_of
+            metrics["loss_cyc"] = l_cyc
+            total = l_of + (cfg.lambda_cyc * l_cyc if use_cyc else 0.0)
 
             if use_cl_ref:
                 l_cl_ref = contrastive.refined_bb_contrastive_loss(
                     k_cl_ref, refined, sample.frames_set_t, data.fg_masks,
                     tcfg, cfg.cl_n_frames, cfg.cl_points_per_pair,
-                    cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_ref_bb)
+                    cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_ref_bb,
+                    view=view)
                 metrics["loss_cl_refiner"] = l_cl_ref
                 total = total + cfg.lambda_cl_ref_bb * l_cl_ref
             else:
@@ -146,7 +166,7 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                 k_cl_dino, refined, sample.frames_set_t, data.bb,
                 data.fg_masks, tcfg, cfg.cl_n_frames, cfg.cl_points_per_pair,
                 cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_dino_bb,
-                cfg.bb_amb_sig_a, cfg.bb_amb_sig_b)
+                cfg.bb_amb_sig_a, cfg.bb_amb_sig_b, view=view)
             l_norm = losses.emb_norm_regularization(refined, raw)
             l_angle = losses.emb_angle_regularization(refined, raw)
             total = (total + cfg.lambda_cl_dino_bb * l_cl_dino

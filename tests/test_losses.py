@@ -137,3 +137,131 @@ def test_mutual_nn_brute_force():
         assert bool(is_bb[i]) == expected
         if expected:
             assert int(tgt[i]) == j
+
+
+def test_cycle_loss_merged_call_equals_split():
+    """cycle_consistency_loss runs st+ts as ONE merged prediction batch;
+    every op in the prediction path is per-point, so it must equal the
+    two-call formulation exactly (and a precomputed FrameView must be a
+    pure no-op)."""
+    from dino_tracker_tpu.models import tracker
+    from dino_tracker_tpu.models.tracker import TrackerConfig, TrackerInput
+    from dino_tracker_tpu.training import cycle
+
+    cfg = TrackerConfig(video_h=70, video_w=112,
+                        delta_channels=(3, 4, 4, 4, 16))
+    key = jax.random.PRNGKey(3)
+    params, _ = tracker.init_tracker(key, cfg)
+    s = 4
+    fh, fw = cfg.feat_hw
+    emb = jnp.asarray(RNG.standard_normal((s, 16, fh, fw)).astype(np.float32))
+    frames_set_t = jnp.asarray([0, 2, 5, 7], jnp.int32)
+    p = 24
+    sp = jnp.asarray(np.concatenate(
+        [RNG.random((p, 2)).astype(np.float32) * [111, 69],
+         RNG.integers(0, 8, (p, 1)).astype(np.float32)], axis=1))
+    tp = jnp.asarray(np.concatenate(
+        [RNG.random((p, 2)).astype(np.float32) * [111, 69],
+         RNG.integers(0, 8, (p, 1)).astype(np.float32)], axis=1))
+    si = jnp.asarray(RNG.integers(0, s, (p,)), jnp.int32)
+    ti = jnp.asarray(RNG.integers(0, s, (p,)), jnp.int32)
+    data = cycle.CycleData(sp, tp, si, ti,
+                           jnp.asarray(RNG.random((p,)), jnp.float32),
+                           jnp.asarray(RNG.random((p,)) > 0.3))
+
+    merged = cycle.cycle_consistency_loss(params, emb, frames_set_t, data,
+                                          cfg, gamma=0.8)
+    view = tracker.make_frame_view(emb, jnp.float32)
+    merged_v = cycle.cycle_consistency_loss(params, emb, frames_set_t, data,
+                                            cfg, gamma=0.8, view=view)
+
+    # split formulation (the pre-merge code path)
+    st = tracker.get_point_predictions(
+        params, TrackerInput(data.source_points, data.source_frame_indices,
+                             data.target_frame_indices, frames_set_t),
+        emb, cfg)
+    ts = tracker.get_point_predictions(
+        params, TrackerInput(data.target_points, data.target_frame_indices,
+                             data.source_frame_indices, frames_set_t),
+        emb, cfg)
+    scale = jnp.asarray([cfg.video_w - 1, cfg.video_h - 1], jnp.float32)
+    tgt_norm = 2.0 * data.target_points[:, :2] / scale - 1.0
+    src_norm = 2.0 * data.source_points[:, :2] / scale - 1.0
+    weight = (0.8 ** data.dists) * data.valid
+    n_valid = jnp.maximum(jnp.sum(data.valid), 1)
+    l_st = jnp.sum(weight[:, None]
+                   * losses.huber(st, tgt_norm, 1 / 32)) / (2 * n_valid)
+    l_ts = jnp.sum(weight[:, None]
+                   * losses.huber(ts, src_norm, 1 / 32)) / (2 * n_valid)
+    split = (l_st + l_ts) / 2.0
+
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(split),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(merged_v))
+
+
+def test_contrastive_vmap_pairs_match_per_pair_loop():
+    """The pair axis of both contrastive losses is vmapped (was lax.map);
+    per-pair math must match a hand python loop over the same split keys."""
+    from dino_tracker_tpu.models import tracker
+    from dino_tracker_tpu.models.tracker import TrackerConfig
+    from dino_tracker_tpu.structures import BBData
+    from dino_tracker_tpu.training import contrastive
+
+    cfg = TrackerConfig(video_h=70, video_w=112,
+                        delta_channels=(3, 4, 4, 4, 16))
+    s = 4
+    fh, fw = cfg.feat_hw
+    emb_np = RNG.standard_normal((s, 16, fh, fw)).astype(np.float32)
+    emb = jnp.asarray(emb_np)
+    frames_set_t = jnp.asarray([0, 2, 5, 7], jnp.int32)
+    fg = jnp.asarray((RNG.random((8, 70, 112)) > 0.5).astype(np.float32))
+    t_all, cap = 8, 16
+    bb = BBData(jnp.asarray(RNG.random((t_all, t_all, cap, 2)) * 100,
+                            jnp.float32),
+                jnp.asarray(RNG.random((t_all, t_all, cap, 2)) * 100,
+                            jnp.float32),
+                jnp.asarray(RNG.random((t_all, t_all, cap)), jnp.float32),
+                jnp.ones((t_all, t_all, cap), jnp.float32),
+                jnp.asarray(RNG.random((t_all, t_all, cap)) > 0.4))
+    key = jax.random.PRNGKey(11)
+
+    total = contrastive.dino_bb_contrastive_loss(
+        key, emb, frames_set_t, bb, fg, cfg, n_pairs=3, points_per_pair=8,
+        fg_points_ratio=0.5, temp=0.1, cl_div=2.0, sig_a=27.0, sig_b=-5.7)
+    # n_pairs=1 three times with the exact per-pair keys the vmapped version
+    # uses must sum to the same total (the selector draws split identically)
+    k_src, k_tgt, k_sel = jax.random.split(key, 3)
+    set_size = 4
+    src_sel = jax.random.randint(k_src, (3,), 0, set_size)
+    tgt_sel = (src_sel + jax.random.randint(k_tgt, (3,), 1, set_size)) % set_size
+    pair_keys = jax.random.split(k_sel, 3)
+    acc = 0.0
+    for i in range(3):
+        # rebuild a single-pair call by monkey-free construction: use the
+        # public API with n_pairs=1 but overriding the selectors via the
+        # same key structure is not possible — instead recompute the pair
+        # loss body through the f32 view identity
+        view = tracker.make_frame_view(emb, jnp.float32)
+        sf, tf = frames_set_t[src_sel[i]], frames_set_t[tgt_sel[i]]
+        kf, kb = jax.random.split(pair_keys[i])
+        valid = bb.valid[sf, tf]
+        fg_raw = losses.sample_fg_mask_at_points(
+            fg.take(sf, axis=0), bb.source_coords[sf, tf], 112, 70)
+        idx_fg, v_fg = losses.masked_gumbel_topk(kf, valid & fg_raw, 4)
+        idx_bg, v_bg = losses.masked_gumbel_topk(kb, valid & ~fg_raw, 4)
+        sel = jnp.concatenate([idx_fg, idx_bg])
+        sel_valid = jnp.concatenate([v_fg, v_bg])
+        src_f = contrastive._sample_embeddings_at(
+            emb, bb.source_coords[sf, tf][sel],
+            jnp.full((8,), src_sel[i]), cfg)
+        tgt_f = contrastive._sample_embeddings_at(
+            emb, bb.target_coords[sf, tf][sel],
+            jnp.full((8,), tgt_sel[i]), cfg)
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+            src_f, tgt_f, view.flat_cd[src_sel[i]], view.flat_cd[tgt_sel[i]],
+            view.norms[src_sel[i]], view.norms[tgt_sel[i]], 0.1)
+        ws = jax.nn.sigmoid(27.0 * (1.0 - bb.r[sf, tf][sel]) - 5.7)
+        cos_ws = jnp.clip(2.0 * bb.cos_sims[sf, tf][sel] ** 3, min=0.0)
+        acc += float(jnp.sum((cl1 + cl2) * ws * cos_ws * sel_valid))
+    np.testing.assert_allclose(float(total), acc / 2.0 / 2.0, rtol=2e-5)
