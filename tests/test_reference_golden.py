@@ -214,3 +214,93 @@ def test_tapvid_metrics_trackwise_match_reference(ref_modules, query_mode):
         get_trackwise_metrics=True)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], atol=1e-6, err_msg=k)
+
+
+def test_align_cnn_vit_features_matches_reference():
+    """Our matmul-form CNN→ViT feature alignment vs the reference's
+    grid_sample implementation (models/utils.py:7-45) — the half-texel grid
+    math (-1 - 1/c_br + 2·x/c_br) is the subtlest constant in DeltaDINO."""
+    from models import utils as ref_mutils  # reference import
+
+    from dino_tracker_tpu.models import delta_dino as our_dd
+    from dino_tracker_tpu.config import feature_grid_size
+
+    rng = np.random.default_rng(5)
+    for (h, w) in [(140, 238), (476, 854)]:
+        vh, vw = feature_grid_size(h, w, patch_size=14, stride=7)
+        ch, cw = -(-h // 8), -(-w // 8)
+        cnn = rng.standard_normal((2, 6, ch, cw)).astype(np.float32)
+        vit_shape = np.zeros((2, 6, vh, vw), np.float32)
+
+        ref = ref_mutils.align_cnn_vit_features(
+            torch.from_numpy(vit_shape), torch.from_numpy(cnn),
+            vit_patch_size=14, vit_stride=7, cnn_stride=8).numpy()
+        ours = np.asarray(our_dd.align_cnn_vit_features(
+            (vh, vw), jnp.asarray(cnn), vit_patch_size=14, vit_stride=7,
+            cnn_stride=8))
+        # reference computes the sample grid in f32, ours in f64 — texel
+        # weights can differ by ~1e-5 where grid coords sit near rounding
+        # boundaries (observed max 3.9e-5 on 0.03% of elements)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_bilinear_interpolate_video_matches_reference():
+    """Our trilinear feature-video sampler vs the reference's
+    bilinear_interpolate_video (utils.py:75-101) — locks align_corners=True,
+    border padding, the normalize flags, and the t>1 guard together.
+
+    Reference utils.py imports torchvision + models.extractor at module
+    level (unavailable/heavy here); both are inert for this function, so
+    they are stubbed for the import only — no reference logic is altered."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "models.extractor" not in sys.modules:
+        ex = types.ModuleType("models.extractor")
+        ex.VitExtractor = object
+        sys.modules["models.extractor"] = ex
+    import utils as ref_utils  # reference import
+
+    from dino_tracker_tpu.utils.sampling import sample_feature_video
+
+    rng = np.random.default_rng(9)
+    for t in [1, 6]:
+        c, h, w = 5, 9, 13
+        video = rng.standard_normal((t, c, h, w)).astype(np.float32)
+        # normalized x/y in [-1,1] with out-of-bounds entries (border pad),
+        # t raw frame indices incl. fractional + out-of-range
+        pts = np.stack([
+            rng.uniform(-1.4, 1.4, 48),
+            rng.uniform(-1.4, 1.4, 48),
+            rng.uniform(-0.9, t - 0.1, 48),
+        ], axis=1).astype(np.float32)
+
+        ref = ref_utils.bilinear_interpolate_video(
+            torch.from_numpy(video.transpose(1, 0, 2, 3)[None]),
+            torch.from_numpy(pts), h=h, w=w, t=t,
+            normalize_h=False, normalize_w=False, normalize_t=True)
+        ref = ref[0, :, 0, :, 0].numpy().T  # B×C
+        ours = np.asarray(sample_feature_video(jnp.asarray(video),
+                                               jnp.asarray(pts),
+                                               normalize_t=True))
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+        # pixel-coord variant with normalize flags on (x, y in pixels)
+        pts_px = np.stack([
+            rng.uniform(-2, w + 1, 48),
+            rng.uniform(-2, h + 1, 48),
+            rng.uniform(0, max(t - 1, 1), 48),
+        ], axis=1).astype(np.float32)
+        ref2 = ref_utils.bilinear_interpolate_video(
+            torch.from_numpy(video.transpose(1, 0, 2, 3)[None]),
+            torch.from_numpy(pts_px), h=h, w=w, t=t,
+            normalize_h=True, normalize_w=True, normalize_t=True)
+        ref2 = ref2[0, :, 0, :, 0].numpy().T
+        ours2 = np.asarray(sample_feature_video(
+            jnp.asarray(video), jnp.asarray(pts_px),
+            normalize_t=True, normalize_h=True, normalize_w=True))
+        np.testing.assert_allclose(ours2, ref2, atol=2e-5, rtol=1e-5)
