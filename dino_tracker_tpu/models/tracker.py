@@ -169,6 +169,50 @@ def get_point_predictions(params, inp: TrackerInput, frame_embeddings,
         cfg, view=view)
 
 
+def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
+                                  target_frame_idx_g, frame_embeddings,
+                                  cfg: TrackerConfig,
+                                  view: Optional[FrameView] = None):
+    """Blocked prediction: group g's P points all live on frame
+    ``source_frame_idx_g[g]`` and re-predict onto ``target_frame_idx_g[g]``.
+
+    The flat path computes each point's correlation against ALL N frames
+    and one-hot-selects the target (necessary when target frames vary per
+    point, as in the of loss); cycle-consistency batches come in
+    fixed-size per-pair blocks with ONE target frame per block, so the
+    correlation contracts against just that frame — an N-fold FLOP and
+    intermediate-memory cut (N=8 at production config) for identical math.
+
+    points_gp3: G×P×(x, y, ·) pixel coords. Returns G×P×2 coords in (-1,1).
+    """
+    g, p, _ = points_gp3.shape
+    n, c, h, w = frame_embeddings.shape
+    if view is None:
+        view = make_frame_view(frame_embeddings, jnp.dtype(cfg.compute_dtype))
+
+    pts = coord_utils.normalize_points_for_sampling(
+        points_gp3.reshape(g * p, 3), cfg.video_h, cfg.video_w,
+        cfg.dino_patch_size, cfg.stride)
+    src_frames = jnp.repeat(source_frame_idx_g, p).astype(pts.dtype)
+    pts = jnp.concatenate([pts[:, :2], src_frames[:, None]], axis=1)
+    src_f = sample_embeddings(frame_embeddings, pts).reshape(g, p, c)
+
+    tgt = target_frame_idx_g.astype(jnp.int32)
+    tgt_flat = jnp.take(view.flat_cd, tgt, axis=0)   # G×C×hw
+    corr = jnp.einsum("gpc,gck->gpk", src_f.astype(view.flat_cd.dtype),
+                      tgt_flat, preferred_element_type=jnp.float32)
+    tgt_norms = jnp.take(view.norms, tgt, axis=0)    # G×hw
+    src_norms = jnp.linalg.norm(src_f, axis=2)       # G×P
+    corr = corr / jnp.clip(src_norms[..., None] * tgt_norms[:, None, :],
+                           min=EPS)
+    corr_maps = jax.nn.relu(corr.reshape(g * p, 1, h, w))
+    out = th.apply_tracker_head(params["tracker_head"], corr_maps,
+                                (cfg.video_h, cfg.video_w),
+                                cfg.dino_patch_size, cfg.stride,
+                                cfg.argmax_radius)
+    return out.reshape(g, p, 2)
+
+
 class ForwardAux(NamedTuple):
     frame_embeddings: jnp.ndarray  # refined, N×C×h'×w'
     raw_embeddings: jnp.ndarray    # N×C×h'×w'

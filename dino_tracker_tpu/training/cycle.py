@@ -65,14 +65,12 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
     coords, valid = jax.vmap(sample_pair_points)(pair_keys, src_sel)  # n_pairs×P×2
 
     p = n_pairs * points_per_pair
-    coords = coords.reshape(p, 2)
-    valid = valid.reshape(p)
-    src_idx = jnp.repeat(src_sel, points_per_pair)
-    tgt_idx = jnp.repeat(tgt_sel, points_per_pair)
-    src_t = frames_set_t[src_idx].astype(jnp.float32)
-    tgt_t = frames_set_t[tgt_idx].astype(jnp.float32)
+    src_t = frames_set_t[src_sel].astype(jnp.float32)  # n_pairs
+    tgt_t = frames_set_t[tgt_sel].astype(jnp.float32)
 
-    source_points = jnp.concatenate([coords, src_t[:, None]], axis=1)
+    source_points_g = jnp.concatenate(
+        [coords, jnp.broadcast_to(src_t[:, None, None],
+                                  (n_pairs, points_per_pair, 1))], axis=2)
 
     emb = jax.lax.stop_gradient(frame_embeddings)
     if view is None:
@@ -80,19 +78,28 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
     else:
         view = jax.tree.map(jax.lax.stop_gradient, view)
 
-    def predict(points, s_idx, t_idx):
-        inp = TrackerInput(points, s_idx, t_idx, frames_set_t)
-        out = tracker.get_point_predictions(params, inp, emb, cfg, view=view)
+    def predict(points_g, s_idx_g, t_idx_g):
+        # blocked predictions: one target frame per pair block, so the
+        # correlation contracts against just that frame (N-fold FLOP cut
+        # vs the flat all-frames+select path)
+        out = tracker.get_point_predictions_grouped(
+            params, points_g, s_idx_g, t_idx_g, emb, cfg, view=view)
         # (-1,1) -> pixel
         scale = jnp.asarray([cfg.video_w - 1, cfg.video_h - 1], jnp.float32)
         return (out + 1.0) * 0.5 * scale
 
-    fwd = predict(source_points, src_idx, tgt_idx)
-    target_points = jnp.concatenate([fwd, tgt_t[:, None]], axis=1)
-    bwd = predict(target_points, tgt_idx, src_idx)
+    fwd = predict(source_points_g, src_sel, tgt_sel)  # n_pairs×P×2 pixel
+    target_points_g = jnp.concatenate(
+        [fwd, jnp.broadcast_to(tgt_t[:, None, None],
+                               (n_pairs, points_per_pair, 1))], axis=2)
+    bwd = predict(target_points_g, tgt_sel, src_sel)
 
-    dists = jnp.linalg.norm(coords - bwd, axis=1)
-    valid = valid & (dists <= thresh)
+    dists = jnp.linalg.norm(coords - bwd, axis=2).reshape(p)
+    valid = valid.reshape(p) & (dists <= thresh)
+    source_points = source_points_g.reshape(p, 3)
+    target_points = target_points_g.reshape(p, 3)
+    src_idx = jnp.repeat(src_sel, points_per_pair)
+    tgt_idx = jnp.repeat(tgt_sel, points_per_pair)
     return CycleData(*map(jax.lax.stop_gradient,
                           (source_points, target_points, src_idx, tgt_idx,
                            dists, valid)))
@@ -134,10 +141,28 @@ def cycle_loss_from_preds(both_preds, data: CycleData, cfg: TrackerConfig,
 def cycle_consistency_loss(params, frame_embeddings, frames_set_t,
                            data: CycleData, cfg: TrackerConfig,
                            gamma: float, huber_delta: float = 1.0 / 32.0,
-                           view=None):
+                           view=None, group_size: int = 0):
     """Graded re-prediction of both directions, γ^dist-weighted Huber to the
-    (constant) cycle-filtered endpoints (reference dino_tracker.py:346-353)."""
-    both = tracker.get_point_predictions(
-        params, cycle_inputs(data, frames_set_t), frame_embeddings, cfg,
-        view=view)
+    (constant) cycle-filtered endpoints (reference dino_tracker.py:346-353).
+
+    ``group_size`` > 0 asserts the CycleData rows come in contiguous
+    fixed-size per-pair blocks (as generate_cycle_data emits them) and uses
+    the blocked prediction path — the per-block single-target correlation,
+    an N-fold FLOP cut over the flat path for the same math."""
+    if group_size:
+        p = data.source_points.shape[0]
+        g = p // group_size
+        sp = data.source_points.reshape(g, group_size, 3)
+        tp = data.target_points.reshape(g, group_size, 3)
+        src_g = data.source_frame_indices.reshape(g, group_size)[:, 0]
+        tgt_g = data.target_frame_indices.reshape(g, group_size)[:, 0]
+        both = tracker.get_point_predictions_grouped(
+            params, jnp.concatenate([sp, tp], axis=0),
+            jnp.concatenate([src_g, tgt_g]),
+            jnp.concatenate([tgt_g, src_g]),
+            frame_embeddings, cfg, view=view).reshape(2 * p, 2)
+    else:
+        both = tracker.get_point_predictions(
+            params, cycle_inputs(data, frames_set_t), frame_embeddings, cfg,
+            view=view)
     return cycle_loss_from_preds(both, data, cfg, gamma, huber_delta)

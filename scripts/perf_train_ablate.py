@@ -135,7 +135,8 @@ def main():
                     else:
                         total += cfg.lambda_cyc * cycle.cycle_consistency_loss(
                             p, refined, sample.frames_set_t, cyc_data, tcfg,
-                            cfg.cyc_gamma, view=view)
+                            cfg.cyc_gamma, view=view,
+                            group_size=cfg.cyc_batch_size_per_frame)
                 if use_cl_ref:
                     total += (cfg.lambda_cl_ref_bb
                               * contrastive.refined_bb_contrastive_loss(

@@ -265,3 +265,55 @@ def test_contrastive_vmap_pairs_match_per_pair_loop():
         cos_ws = jnp.clip(2.0 * bb.cos_sims[sf, tf][sel] ** 3, min=0.0)
         acc += float(jnp.sum((cl1 + cl2) * ws * cos_ws * sel_valid))
     np.testing.assert_allclose(float(total), acc / 2.0 / 2.0, rtol=2e-5)
+
+
+def test_grouped_predictions_match_flat_path():
+    """get_point_predictions_grouped (per-block single-target correlation)
+    must match the flat all-frames+one-hot-select path — same operands,
+    just no wasted contractions — and the grouped cycle loss must equal
+    the flat cycle loss."""
+    from dino_tracker_tpu.models import tracker
+    from dino_tracker_tpu.models.tracker import TrackerConfig, TrackerInput
+    from dino_tracker_tpu.training import cycle
+
+    cfg = TrackerConfig(video_h=70, video_w=112,
+                        delta_channels=(3, 4, 4, 4, 16))
+    key = jax.random.PRNGKey(7)
+    params, _ = tracker.init_tracker(key, cfg)
+    s = 4
+    fh, fw = cfg.feat_hw
+    emb = jnp.asarray(RNG.standard_normal((s, 16, fh, fw)).astype(np.float32))
+    frames_set_t = jnp.asarray([0, 2, 5, 7], jnp.int32)
+
+    g, pp = 3, 8
+    pts = jnp.asarray(np.concatenate(
+        [RNG.random((g, pp, 2)).astype(np.float32) * [111, 69],
+         RNG.integers(0, 8, (g, pp, 1)).astype(np.float32)], axis=2))
+    src_g = jnp.asarray(RNG.integers(0, s, (g,)), jnp.int32)
+    tgt_g = jnp.asarray(RNG.integers(0, s, (g,)), jnp.int32)
+
+    grouped = tracker.get_point_predictions_grouped(
+        params, pts, src_g, tgt_g, emb, cfg)
+    flat = tracker.get_point_predictions(
+        params, TrackerInput(pts.reshape(g * pp, 3),
+                             jnp.repeat(src_g, pp), jnp.repeat(tgt_g, pp),
+                             frames_set_t), emb, cfg)
+    np.testing.assert_allclose(np.asarray(grouped).reshape(g * pp, 2),
+                               np.asarray(flat), atol=1e-5, rtol=1e-5)
+
+    # grouped cycle loss == flat cycle loss on block-structured CycleData
+    p = g * pp
+    data = cycle.CycleData(
+        pts.reshape(p, 3),
+        jnp.asarray(np.concatenate(
+            [RNG.random((p, 2)).astype(np.float32) * [111, 69],
+             RNG.integers(0, 8, (p, 1)).astype(np.float32)], axis=1)),
+        jnp.repeat(src_g, pp), jnp.repeat(tgt_g, pp),
+        jnp.asarray(RNG.random((p,)), jnp.float32),
+        jnp.asarray(RNG.random((p,)) > 0.3))
+    l_flat = cycle.cycle_consistency_loss(params, emb, frames_set_t, data,
+                                          cfg, gamma=0.8)
+    l_grp = cycle.cycle_consistency_loss(params, emb, frames_set_t, data,
+                                         cfg, gamma=0.8, group_size=pp)
+    np.testing.assert_allclose(np.asarray(l_grp), np.asarray(l_flat),
+                               rtol=1e-5)
