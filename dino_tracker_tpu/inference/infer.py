@@ -10,14 +10,19 @@ trained params and the cached refined feature video:
      median error at visible frames, OR cos < 0.6.
 
 TPU redesign: the reference loops one query × one anchor at a time
-(model_inference.py:69-72,137-147); here all (query, frame) and
-(query, anchor, frame) predictions are flat fixed-size batches through one
-jitted prediction kernel, and the variable-anchor medians become masked
-medians. Anchors gather onto a padded max-visible axis (bucketed to
-multiples of 8 so shapes stay static across queries) instead of predicting
-all T×T pairs — the reference re-tracks only from visible anchors
-(model_inference.py:160-163). Chunk size bounds the B×H'·W' correlation
-working set; pass ``mesh`` to shard the flat prediction batch across chips.
+(model_inference.py:69-72,137-147); here predictions go through a
+multi-target kernel (tracker.get_point_predictions_multi_target): each
+source point's embedding contracts against the frame set ONCE and its K
+target predictions share that correlation pass — a K-fold FLOP cut over
+carrying one (source, target) pair per row (trajectories K=T, anchor
+re-tracking K=A). The variable-anchor medians become masked medians, and
+anchors gather onto a padded max-visible axis (bucketed to multiples of 8
+so shapes stay static across queries) instead of predicting all T×T pairs —
+the reference re-tracks only from visible anchors
+(model_inference.py:160-163). The flat one-pair-per-row path is kept as the
+equality oracle (tests/test_inference.py). ``chunk`` bounds predictions per
+dispatch and ``corr_budget_bytes`` the B×T×H'·W' correlation working set;
+pass ``mesh`` to shard the source axis across chips.
 """
 
 from __future__ import annotations
@@ -99,6 +104,28 @@ class ModelInference:
 
         self._predict = dispatch
 
+        def predict_multi(params, refined, view, source_points, source_frames,
+                          target_frames_bk):
+            """B×3 pixel (x, y, ·) + B×K target frames → B×K×2 pixel coords."""
+            out = tracker.get_point_predictions_multi_target(
+                params, constrain_batch(source_points, mesh),
+                constrain_batch(source_frames, mesh),
+                constrain_batch(target_frames_bk, mesh),
+                refined, self.cfg, view=view)
+            return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
+
+        _predict_multi = jax.jit(predict_multi)
+
+        def dispatch_multi(p, sp, sf, tf):
+            if mesh is not None:
+                with mesh:
+                    return _predict_multi(p, self.refined_features, self._view,
+                                          sp, sf, tf)
+            return _predict_multi(p, self.refined_features, self._view,
+                                  sp, sf, tf)
+
+        self._predict_multi = dispatch_multi
+
         def sample_feats(refined, points_b3):
             pts = jnp.asarray(points_b3)
             from ..utils import coords as cu
@@ -128,16 +155,42 @@ class ModelInference:
                 outs.append(self._predict(self.params, sp, sf, tf))
         return jnp.concatenate(outs, axis=0)
 
+    def _multi_chunk(self, k: int) -> int:
+        """Sources per multi-target dispatch: bound the B×T×hw ``corr_all``
+        (plus ~24·B·hw of per-slice head temporaries) by the corr budget AND
+        keep predictions-per-dispatch ≤ the flat path's ``chunk`` knob."""
+        t = self.refined_features.shape[0]
+        hw = self.refined_features.shape[2] * self.refined_features.shape[3]
+        by_budget = int(self.corr_budget_bytes / ((t + 24) * hw * 4))
+        by_preds = -(-self.chunk // k)
+        c = max(8, min(by_budget, by_preds))
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        return max(c - c % n_dev, n_dev)
+
+    def _predict_multi_chunked(self, source_points, source_frames,
+                               target_frames_bk):
+        """Chunk the source axis; each dispatch predicts chunk×K points."""
+        b, k = target_frames_bk.shape
+        chunk = self._multi_chunk(k)
+        outs = []
+        for s in range(0, b, chunk):
+            e = min(s + chunk, b)
+            sp, sf = source_points[s:e], source_frames[s:e]
+            tf = target_frames_bk[s:e]
+            if e - s < chunk:
+                sp, sf = _pad_to(sp, chunk), _pad_to(sf, chunk)
+                tf = _pad_to(tf, chunk)
+            outs.append(self._predict_multi(self.params, sp, sf, tf)[: e - s])
+        return jnp.concatenate(outs, axis=0)
+
     def compute_trajectories(self, query_points) -> jnp.ndarray:
         """query_points N×3 (x, y, t) → trajectories N×T×3 (x, y, t)."""
         q = jnp.asarray(query_points, jnp.float32)
         n = q.shape[0]
         t = self.refined_features.shape[0]
-        src = jnp.repeat(q, t, axis=0)  # (N·T)×3
-        src_frames = src[:, 2].astype(jnp.int32)
-        tgt_frames = jnp.tile(jnp.arange(t, dtype=jnp.int32), n)
-        coords = self._predict_chunked(src, src_frames, tgt_frames)
-        coords = coords.reshape(n, t, 2)
+        src_frames = q[:, 2].astype(jnp.int32)
+        tgt_frames = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (n, t))
+        coords = self._predict_multi_chunked(q, src_frames, tgt_frames)
         times = jnp.broadcast_to(jnp.arange(t, dtype=jnp.float32)[None, :, None],
                                  (n, t, 1))
         return jnp.concatenate([coords, times], axis=-1)
@@ -183,14 +236,16 @@ class ModelInference:
             anchor_idx = np.where(anchor_valid, order, order[:, :1]).astype(np.int32)
         a = anchor_idx.shape[1]
 
-        pts = trajectories  # N×T×3
-        src = jnp.broadcast_to(pts[:, None, :, :], (n, a, t, 3)).reshape(-1, 3)
+        # sources are the N·T trajectory points, each re-predicted onto the
+        # query's A anchor frames — one multi-target row per trajectory point
+        src = trajectories.reshape(-1, 3)  # (N·T)×3
         src_frames = src[:, 2].astype(jnp.int32)
         anchors = jnp.broadcast_to(
-            jnp.asarray(anchor_idx)[:, :, None], (n, a, t)).reshape(-1)
-        coords = self._predict_chunked(src, src_frames, anchors)
-        return (coords.reshape(n, a, t, 2), jnp.asarray(anchor_idx),
-                jnp.asarray(anchor_valid))
+            jnp.asarray(anchor_idx)[:, None, :], (n, t, a)).reshape(-1, a)
+        coords = self._predict_multi_chunked(src, src_frames, anchors)
+        # (N·T)×A×2 → N×A×T×2
+        coords = jnp.swapaxes(coords.reshape(n, t, a, 2), 1, 2)
+        return (coords, jnp.asarray(anchor_idx), jnp.asarray(anchor_valid))
 
     def compute_occlusion(self, trajectories, cos_sims, anchor_trajectories,
                           anchor_idx=None, anchor_valid=None):

@@ -213,6 +213,60 @@ def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
     return out.reshape(g, p, 2)
 
 
+def get_point_predictions_multi_target(params, source_points_b3,
+                                       source_frame_idx_b, target_frames_bk,
+                                       frame_embeddings, cfg: TrackerConfig,
+                                       view: Optional[FrameView] = None):
+    """One source point → K target frames, sharing one correlation pass.
+
+    The flat path (``get_point_predictions``) carries one (source, target)
+    pair per row, so predicting a point onto K frames contracts its embedding
+    against ALL N frames K times and one-hot-selects — an N-fold FLOP
+    redundancy per target. Here each source embedding contracts against the
+    frame set ONCE (``corr_all`` B×N×hw) and the K target rows are gathered;
+    the tracker head then runs per target slice under ``lax.map`` so its
+    16-channel hidden conv only ever materializes B maps at a time.
+
+    Inference is the caller (reference model_inference.py:69-72,137-147
+    re-predicts every trajectory point onto every anchor frame): trajectories
+    use K=T, anchor re-tracking K=A. Inference-only — gathers here are
+    forward-only by design (no one-hot backward needed).
+
+    source_points_b3: B×(x, y, ·) pixel coords. target_frames_bk: B×K int.
+    Returns B×K×2 coords in (-1, 1).
+    """
+    b, k = target_frames_bk.shape
+    n, c, h, w = frame_embeddings.shape
+    if view is None:
+        view = make_frame_view(frame_embeddings, jnp.dtype(cfg.compute_dtype))
+
+    pts = coord_utils.normalize_points_for_sampling(
+        source_points_b3, cfg.video_h, cfg.video_w, cfg.dino_patch_size,
+        cfg.stride)
+    pts = jnp.concatenate(
+        [pts[:, :2], source_frame_idx_b[:, None].astype(pts.dtype)], axis=1)
+    src = sample_embeddings(frame_embeddings, pts)  # B×C
+    corr_all = jnp.einsum("bc,nck->bnk", src.astype(view.flat_cd.dtype),
+                          view.flat_cd,
+                          preferred_element_type=jnp.float32)  # B×N×hw
+    src_norms = jnp.linalg.norm(src, axis=1)  # B
+
+    def head_one_target(tgt_b):  # B int32: this slice's target frame per row
+        corr_k = jnp.take_along_axis(
+            corr_all, tgt_b[:, None, None], axis=1)[:, 0]  # B×hw
+        norms_k = jnp.take(view.norms, tgt_b, axis=0)      # B×hw
+        corr_k = corr_k / jnp.clip(src_norms[:, None] * norms_k, min=EPS)
+        maps = jax.nn.relu(corr_k).reshape(b, 1, h, w)
+        return th.apply_tracker_head(params["tracker_head"], maps,
+                                     (cfg.video_h, cfg.video_w),
+                                     cfg.dino_patch_size, cfg.stride,
+                                     cfg.argmax_radius)
+
+    tgt = target_frames_bk.astype(jnp.int32)
+    out = jax.lax.map(head_one_target, jnp.swapaxes(tgt, 0, 1))  # K×B×2
+    return jnp.swapaxes(out, 0, 1)
+
+
 class ForwardAux(NamedTuple):
     frame_embeddings: jnp.ndarray  # refined, N×C×h'×w'
     raw_embeddings: jnp.ndarray    # N×C×h'×w'

@@ -30,3 +30,21 @@ t0 = time.time()
 trajs, occ = mi.infer(q)
 print(f"infer steady: {time.time()-t0:.1f}s for {N} queries × {T} frames "
       f"(incl. {N*T*T} anchor re-predictions)", flush=True)
+
+# r2 flat path (one full-T contraction per (source, target) pair) for the
+# back-to-back comparison against the multi-target kernel
+src = jnp.repeat(jnp.asarray(q), T, axis=0)
+sf = src[:, 2].astype(jnp.int32)
+tf = jnp.tile(jnp.arange(T, dtype=jnp.int32), N)
+mi._predict_chunked(src, sf, tf).block_until_ready()  # compile
+t0 = time.time()
+mi._predict_chunked(src, sf, tf).block_until_ready()
+flat_traj = time.time() - t0
+tgt = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (N, T))
+mi._predict_multi_chunked(jnp.asarray(q), jnp.asarray(q)[:, 2].astype(jnp.int32),
+                          tgt).block_until_ready()
+t0 = time.time()
+mi._predict_multi_chunked(jnp.asarray(q), jnp.asarray(q)[:, 2].astype(jnp.int32),
+                          tgt).block_until_ready()
+print(f"trajectories ({N*T} preds): flat {flat_traj:.2f}s vs multi "
+      f"{time.time()-t0:.2f}s", flush=True)

@@ -110,6 +110,38 @@ def test_occlusion_rule_parity():
         np.testing.assert_array_equal(ours[q], ref.numpy(), err_msg=f"qp {q}")
 
 
+def test_multi_target_matches_flat_oracle():
+    """The multi-target kernel (one correlation pass per source, K targets)
+    must reproduce the flat one-pair-per-row path bit-for-bit-ish on both
+    inference batch shapes: trajectories (K=T) and anchor re-tracking (K=A)."""
+    mi, _ = make_inference()
+    t = mi.refined_features.shape[0]
+    q = np.array([[20.0, 30.0, 0.0], [50.0, 40.0, 2.0], [70.0, 10.0, 4.0]],
+                 dtype=np.float32)
+    n = q.shape[0]
+
+    # trajectories: flat oracle repeats each query T times
+    src = jnp.repeat(jnp.asarray(q), t, axis=0)
+    flat = mi._predict_chunked(src, src[:, 2].astype(jnp.int32),
+                               jnp.tile(jnp.arange(t, dtype=jnp.int32), n))
+    trajs = mi.compute_trajectories(jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(trajs[..., :2]),
+                               np.asarray(flat).reshape(n, t, 2), atol=1e-4)
+
+    # anchors: a ragged-ish padded anchor grid with duplicate padding slots
+    anchor_idx = np.array([[0, 2, 4, 0], [1, 3, 1, 1], [2, 2, 2, 2]],
+                          np.int32)
+    a = anchor_idx.shape[1]
+    src = jnp.asarray(np.asarray(trajs).reshape(-1, 3))
+    tf = jnp.asarray(np.repeat(anchor_idx, t, axis=0))
+    multi = mi._predict_multi_chunked(src, src[:, 2].astype(jnp.int32), tf)
+    flat = mi._predict_chunked(
+        jnp.repeat(src, a, axis=0), jnp.repeat(src[:, 2].astype(jnp.int32), a),
+        jnp.asarray(np.repeat(anchor_idx, t, axis=0).reshape(-1)))
+    np.testing.assert_allclose(np.asarray(multi).reshape(-1, 2),
+                               np.asarray(flat), atol=1e-4)
+
+
 def test_inference_mesh_matches_single_device():
     """Flat prediction batch sharded over the 8-device CPU mesh must give
     identical trajectories and occlusions."""
