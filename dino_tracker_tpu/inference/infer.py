@@ -162,9 +162,11 @@ class ModelInference:
         t = self.refined_features.shape[0]
         hw = self.refined_features.shape[2] * self.refined_features.shape[3]
         by_budget = int(self.corr_budget_bytes / ((t + 24) * hw * 4))
-        by_preds = -(-self.chunk // k)
-        c = max(8, min(by_budget, by_preds))
+        by_preds = self.chunk // k
+        c = max(1, min(by_budget, by_preds))
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        # the n_dev floor is the one case allowed past the budget: a dispatch
+        # can never carry fewer than one source per device
         return max(c - c % n_dev, n_dev)
 
     def _predict_multi_chunked(self, source_points, source_frames,

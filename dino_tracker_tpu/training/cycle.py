@@ -106,11 +106,13 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
 
 
 def cycle_inputs(data: CycleData, frames_set_t) -> TrackerInput:
-    """Both re-prediction directions as ONE batch — every op in the
+    """Both re-prediction directions as ONE flat batch — every op in the
     prediction path (sampling, corr einsum, head) is per-point, so the
-    concatenation is math-identical while halving the kernel count; the
-    train step further concatenates this onto its of-loss batch so the
-    whole phase-2 step issues a single with-grad prediction call."""
+    concatenation is math-identical while halving the kernel count. The
+    production train step uses the grouped per-pair path instead
+    (cycle_consistency_loss with group_size>0, contracting against one
+    target frame per pair); this flat form remains the group_size=0
+    fallback and the equality oracle for it."""
     return TrackerInput(
         jnp.concatenate([data.source_points, data.target_points]),
         jnp.concatenate([data.source_frame_indices,

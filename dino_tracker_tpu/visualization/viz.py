@@ -233,6 +233,16 @@ def _ransac_fit(src_n2: np.ndarray, dst_n2: np.ndarray, vis: np.ndarray,
                                (err < t2).astype(np.float64))
 
 
+def _usable_homography(hm: np.ndarray) -> bool:
+    """Reject non-finite or (near-)singular fits — a degenerate RANSAC round
+    (collinear/coincident draws) can emit a rank-deficient H that would blow
+    up plot_tracks_tails' inv(H) chaining downstream."""
+    if not np.isfinite(hm).all():
+        return False
+    det = np.linalg.det(hm)
+    return np.isfinite(det) and abs(det) > 1e-12 and np.linalg.cond(hm) < 1e12
+
+
 def _update_canonical(tformed_tn2: np.ndarray, invalid_tn: np.ndarray,
                       err_tn: np.ndarray, thresh: float, outer_thresh: float,
                       required_inlier_frac: float, rng: np.random.Generator):
@@ -313,6 +323,11 @@ def estimate_homographies_canonical(
                              thresh, targ_inlier_frac, rng)
         else:
             hm = np.eye(3)
+        if not _usable_homography(hm):
+            # chain the neighboring frame's estimate (the cv2 path's
+            # fallback) instead of letting a singular fit through
+            prev = f - 1 if f > reference_frame else f + 1
+            hm = homogs[prev]
         err[f], tformed[f] = _homography_errors(hm, pts[f], canonical)
         invalid[f] = occ[f]
         homogs[f] = hm
@@ -325,8 +340,10 @@ def estimate_homographies_canonical(
             e, _ = _homography_errors(homogs[f], pts[f], canonical)
             good = ~(canonical_invalid | occ[f] | (e > t2))
             if good.sum() > 4:
-                homogs[f] = _fit_homography_dlt(
+                refit = _fit_homography_dlt(
                     pts[f], canonical, good.astype(np.float64))
+                if _usable_homography(refit):
+                    homogs[f] = refit
             err[f], tformed[f] = _homography_errors(homogs[f], pts[f],
                                                     canonical)
             canonical, canonical_invalid = _update_canonical(
@@ -371,7 +388,12 @@ def plot_tracks_tails(video_thwc: np.ndarray, tracks: np.ndarray,
             warped = _apply_homography(tracks[:, j], inv_homogs[i] @ homogs[j])
             proj.append(warped)
         proj = np.stack(proj, axis=1)  # N×(i-start+1)×2
-        vis = ~occluded[:, start:i + 1].astype(bool)
+        # a near-degenerate homography chain can fling reprojections to
+        # inf/NaN or past C-int range — cv2.line hard-errors on those;
+        # treat them as invisible and clip the rest (off-screen is fine)
+        finite = np.isfinite(proj).all(axis=-1)
+        proj = np.clip(np.nan_to_num(proj), -32000, 32000)
+        vis = (~occluded[:, start:i + 1].astype(bool)) & finite
         for p in range(n):
             color = tuple(int(c) for c in colors[p])
             seg = proj[p]

@@ -120,6 +120,42 @@ def test_canonical_homographies_default_reference_is_middle():
     np.testing.assert_allclose(homogs[t // 2], np.eye(3), atol=1e-9)
 
 
+def test_canonical_homographies_degenerate_frame_falls_back():
+    """A frame whose visible points are all collinear (every 4-point DLT
+    draw rank-deficient) must chain a neighboring estimate instead of
+    emitting a singular H — plot_tracks_tails inverts every homography."""
+    n, t, w, h = 40, 6, 160, 120
+    base = RNG.random((n, 2)).astype(np.float64) * [w * 0.8, h * 0.8]
+    tracks = np.repeat(base[:, None, :], t, axis=1)
+    # frame 4: collapse every point onto one line (x, 0.3x + 5)
+    tracks[:, 4, 1] = 0.3 * tracks[:, 4, 0] + 5.0
+    occ = np.zeros((n, t), bool)
+    homogs, _, _ = viz.estimate_homographies_canonical(
+        tracks, occ, image_dimensions=(w, h), reference_frame=0)
+    assert np.isfinite(homogs).all()
+    inv = np.linalg.inv(homogs)  # raises LinAlgError on a singular fit
+    assert np.isfinite(inv).all()
+    video = np.zeros((t, h, w, 3), np.uint8)
+    tails = viz.plot_tracks_tails(video, tracks.astype(np.float32), occ,
+                                  homogs=homogs)
+    assert tails.shape == video.shape
+
+
+def test_plot_tracks_tails_survives_extreme_homographies():
+    """Near-degenerate homography chains reproject points to inf/NaN or past
+    C-int range; cv2.line hard-errors on those — they must be dropped/clipped
+    (found by driving cli.visualize on a collinear-frame video)."""
+    t, h, w, n = 4, 60, 80, 12
+    video = np.zeros((t, h, w, 3), np.uint8)
+    tracks = RNG.random((n, t, 2)).astype(np.float32) * [w - 1, h - 1]
+    occ = np.zeros((n, t), bool)
+    homogs = np.tile(np.eye(3)[None], (t, 1, 1))
+    # strong perspective row: many points land near the w=0 horizon
+    homogs[2] = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.05, 0.05, -1.0]])
+    tails = viz.plot_tracks_tails(video, tracks, occ, homogs=homogs)
+    assert tails.shape == video.shape
+
+
 def test_filter_bg_trajectories():
     n, t = 200, 8
     traj = RNG.random((n, t, 2)).astype(np.float32) * 100
