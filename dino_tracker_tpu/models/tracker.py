@@ -300,22 +300,35 @@ def forward(params, batch_stats, video_tchw, dino_embed_tchw,
 
 
 def cache_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
-                             cfg: TrackerConfig, frames_chunk: int = 16):
+                             cfg: TrackerConfig, frames_chunk: int = 16,
+                             mesh=None):
     """Inference-time cache: refined features for ALL frames (eval-mode BN).
 
     Chunked over frames to bound peak activation memory on long videos
-    (reference models/tracker.py:131-135).
+    (reference models/tracker.py:131-135); with ``mesh`` the per-chunk
+    DeltaDINO conv batch shards its frame axis over the devices.
     """
+    from ..parallel.mesh import constrain_batch
+
     t = video_tchw.shape[0]
     chunks = []
     # everything enters as arguments (no baked-in constants), and chunk
     # shapes stay static (clamped indices) so there is exactly one compile
     refine = jax.jit(
-        lambda p, bs, v, d, fs: get_refined_embeddings(p, bs, v, d, fs, cfg,
-                                                       train=False)[0])
+        lambda p, bs, v, d, fs: constrain_batch(
+            get_refined_embeddings(p, bs, v, d,
+                                   constrain_batch(fs, mesh), cfg,
+                                   train=False)[0], mesh))
+    n_dev = mesh.devices.size if mesh is not None else 1
+    frames_chunk = max(frames_chunk - frames_chunk % n_dev, n_dev)
     for start in range(0, t, frames_chunk):
         e = min(start + frames_chunk, t)
         idx = jnp.minimum(jnp.arange(start, start + frames_chunk), t - 1)
-        out = refine(params, batch_stats, video_tchw, dino_embed_tchw, idx)
+        if mesh is not None:
+            with mesh:
+                out = refine(params, batch_stats, video_tchw,
+                             dino_embed_tchw, idx)
+        else:
+            out = refine(params, batch_stats, video_tchw, dino_embed_tchw, idx)
         chunks.append(out[: e - start])
     return jnp.concatenate(chunks, axis=0)

@@ -116,7 +116,7 @@ class DINOTrackerRuntime:
         state = self.load_state(step)
         refined = tracker_lib.cache_refined_embeddings(
             state.params, state.batch_stats, data.video, data.dino_embed,
-            self.tcfg)
+            self.tcfg, mesh=self.mesh)
         return ModelInference(
             params=state.params, refined_features=refined, cfg=self.tcfg,
             anchor_cosine_similarity_threshold=

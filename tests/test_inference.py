@@ -142,6 +142,24 @@ def test_multi_target_matches_flat_oracle():
                                np.asarray(flat), atol=1e-4)
 
 
+def test_cache_refined_embeddings_mesh_matches_single_device():
+    """The sharded feature-cache build (frame axis over 8 CPU devices) must
+    equal the unsharded one, including the non-multiple-of-8 tail chunk."""
+    from dino_tracker_tpu.parallel.mesh import make_mesh
+
+    tcfg = TrackerConfig(video_h=70, video_w=98, delta_channels=(3, 4, 4, 4, 8))
+    hp, wp = tcfg.feat_hw
+    params, stats = tracker.init_tracker(jax.random.PRNGKey(1), tcfg)
+    t = 11  # not a multiple of the mesh size
+    video = jnp.asarray(RNG.random((t, 3, 70, 98), np.float32))
+    dino = jnp.asarray(RNG.standard_normal((t, 8, hp, wp)).astype(np.float32))
+    a = tracker.cache_refined_embeddings(params, stats, video, dino, tcfg,
+                                         frames_chunk=4)
+    b = tracker.cache_refined_embeddings(params, stats, video, dino, tcfg,
+                                         frames_chunk=8, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_inference_mesh_matches_single_device():
     """Flat prediction batch sharded over the 8-device CPU mesh must give
     identical trajectories and occlusions."""
