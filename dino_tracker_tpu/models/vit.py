@@ -213,6 +213,14 @@ def forward_features(params, frames_nchw, cfg: ViTConfig, stride: int,
     x = x + interpolate_pos_embed(params, grid_hw, cfg)
 
     want_qkv = facet in ("keys", "queries", "values")
+    depth = len(params["blocks"])
+    bad = [l for l in layers if not 0 <= l < depth]
+    if bad:
+        raise ValueError(
+            f"requested ViT layer(s) {bad} out of range for a {depth}-block "
+            f"model — the layer-15/23 defaults in config.py are ViT-L/14 "
+            f"values; set dino_layer/mask_dino_layer to < {depth} for "
+            f"smaller variants")
     max_layer = max(layers)
     layers = list(layers)
     stacked = stack_block_params(params["blocks"][: max_layer + 1])

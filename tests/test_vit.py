@@ -336,3 +336,16 @@ def test_extraction_bf16_close_to_f32():
     b = bf16.reshape(2, 32, -1)
     cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.995, cos.min()
+
+
+def test_forward_features_rejects_out_of_range_layer():
+    """The layer-15/23 config defaults are ViT-L values; a smaller model must
+    fail with a clear error, not a cryptic scan shape mismatch (found by
+    driving cli.preprocess with dinov2_vits14)."""
+    import pytest
+
+    params = jvit.init_vit(jax.random.PRNGKey(0), SMALL)
+    img = jnp.asarray(RNG.standard_normal((1, 3, 42, 56)).astype(np.float32))
+    with pytest.raises(ValueError, match="out of range for a 3-block"):
+        jvit.forward_features(params, img, SMALL, 7, layers=[1, 15],
+                              facet="tokens", attn_impl="xla")
