@@ -64,6 +64,14 @@ class DINOTrackerRuntime:
         dino = video_io.load_npz(
             self.paths["dino_embed_video_path"])["features"].astype(
             np.float32, copy=False)  # f16 on-disk option upcasts here
+        want = self.tcfg.delta_channels[-1]
+        if dino.shape[1] != want:
+            raise ValueError(
+                f"feature artifact has {dino.shape[1]} channels but the "
+                f"refiner emits {want} (dino_model_name="
+                f"{self.cfg.dino_model_name}) — the video was preprocessed "
+                f"with a different DINO variant than this config trains "
+                f"against")
         # preprocessing may have capped the video at max_frames; every
         # artifact shares the feature video's length — load to match so
         # clamped gathers can never silently alias frames

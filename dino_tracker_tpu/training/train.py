@@ -241,9 +241,9 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed)
         state = init_train_state(key, self.cfg, self.tcfg)
 
-        init_iter = ckpt_lib.get_last_ckpt_iter(self.ckpt_folder)
-        if init_iter > 0:
-            state = ckpt_lib.load_state(self.ckpt_folder, state, init_iter)
+        loaded, init_iter = ckpt_lib.load_latest(self.ckpt_folder, state)
+        if loaded is not None and init_iter > 0:
+            state = loaded
             logger.info("resumed from iter %d", init_iter)
         i = max(init_iter, 0)
 

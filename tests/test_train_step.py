@@ -1,5 +1,6 @@
 """End-to-end jitted train-step tests on synthetic data (small shapes)."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -124,6 +125,26 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["tracker_head"]["conv1"]["w"]),
         np.asarray(s1.params["tracker_head"]["conv1"]["w"]))
     assert int(restored.step) == int(s1.step)
+
+
+def test_checkpoint_corrupt_newest_falls_back(tmp_path):
+    """A process killed mid-save must not poison resume: load_latest skips
+    truncated files; explicit-step load still fails hard; save leaves no
+    .tmp behind (atomic temp+replace)."""
+    from dino_tracker_tpu.training import checkpoint as ck
+    tcfg, data = make_video_data()
+    state = train_lib.init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+    good = ck.save_state(str(tmp_path), state, 5)
+    assert not any(n.endswith(".tmp") for n in os.listdir(tmp_path))
+    # simulate a kill mid-write of the newer checkpoint
+    with open(good, "rb") as f:
+        blob = f.read()
+    with open(os.path.join(tmp_path, "state_10.msgpack"), "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    loaded, it = ck.load_latest(str(tmp_path), state)
+    assert it == 5 and loaded is not None
+    with pytest.raises(Exception):
+        ck.load_state(str(tmp_path), state, 10)
 
 
 def test_lr_schedule_matches_reference():
