@@ -366,11 +366,18 @@ def estimate_homographies_canonical(
 def plot_tracks_tails(video_thwc: np.ndarray, tracks: np.ndarray,
                       occluded: np.ndarray, homogs: Optional[np.ndarray] = None,
                       point_size: int = 4, linewidth: int = 1,
-                      tail_length: Optional[int] = None) -> np.ndarray:
+                      tail_length: Optional[int] = None,
+                      trail_fade: bool = True) -> np.ndarray:
     """Motion-trail video: each point drags its (camera-stabilized) past
     positions (reference viz_utils_tapir.py:665-780). ``homogs[f]`` maps
     frame-f coords to the canonical frame; past points are re-projected into
-    the current frame via inv(H_i) @ H_j."""
+    the current frame via inv(H_i) @ H_j.
+
+    Matches the reference's matplotlib compositing: trail segments fade with
+    age (``alpha = max(1 - 0.9·(i-j)/((i+1)·0.99), 0.1)``, viz_utils_tapir
+    :758), segments with an occluded or out-of-frame endpoint are hidden
+    (:740-752), and trail coordinates clamp into the image (:746-747) —
+    rendered as one cv2 overlay blend per age slice."""
     import cv2
     t, h, w = video_thwc.shape[:3]
     n = tracks.shape[0]
@@ -387,26 +394,35 @@ def plot_tracks_tails(video_thwc: np.ndarray, tracks: np.ndarray,
         for j in range(start, i + 1):
             warped = _apply_homography(tracks[:, j], inv_homogs[i] @ homogs[j])
             proj.append(warped)
-        proj = np.stack(proj, axis=1)  # N×(i-start+1)×2
+        proj = np.stack(proj, axis=1)  # N×L×2, L = i-start+1
         # a near-degenerate homography chain can fling reprojections to
-        # inf/NaN or past C-int range — cv2.line hard-errors on those;
-        # treat them as invisible and clip the rest (off-screen is fine)
+        # inf/NaN — cv2.line hard-errors on those; treat as out-of-frame
         finite = np.isfinite(proj).all(axis=-1)
-        proj = np.clip(np.nan_to_num(proj), -32000, 32000)
-        vis = (~occluded[:, start:i + 1].astype(bool)) & finite
+        oof = ((np.nan_to_num(proj) < 1.0)
+               | (np.nan_to_num(proj) > [w, h])).any(axis=-1) | ~finite
+        proj = np.clip(np.nan_to_num(proj), 1.0, [w - 1.0, h - 1.0])
+        vis = (~occluded[:, start:i + 1].astype(bool)) & ~oof
+        pts_i = np.rint(proj).astype(np.int32)
+        for j in range(proj.shape[1] - 1):  # age slice: segment j -> j+1
+            drawable = vis[:, j] & vis[:, j + 1]
+            if not drawable.any():
+                continue
+            alpha = 1.0
+            if trail_fade:
+                age = (i - (start + j)) / ((i + 1) * 0.99)
+                alpha = max(1.0 - 0.9 * age, 0.1)
+            layer = frame.copy()
+            for p in np.where(drawable)[0]:
+                cv2.line(layer, tuple(pts_i[p, j]), tuple(pts_i[p, j + 1]),
+                         tuple(int(c) for c in colors[p]), linewidth,
+                         cv2.LINE_AA)
+            frame = cv2.addWeighted(layer, alpha, frame, 1.0 - alpha, 0.0)
         for p in range(n):
-            color = tuple(int(c) for c in colors[p])
-            seg = proj[p]
-            ok = vis[p]
-            for j in range(len(seg) - 1):
-                if ok[j] and ok[j + 1]:
-                    a = (int(round(seg[j, 0])), int(round(seg[j, 1])))
-                    b = (int(round(seg[j + 1, 0])), int(round(seg[j + 1, 1])))
-                    cv2.line(frame, a, b, color, linewidth, cv2.LINE_AA)
             if not occluded[p, i]:
                 x, y = int(round(tracks[p, i, 0])), int(round(tracks[p, i, 1]))
-                cv2.circle(frame, (x, y), point_size, color, -1, cv2.LINE_AA)
-        out.append(frame)
+                cv2.circle(frame, (x, y), point_size,
+                           tuple(int(c) for c in colors[p]), -1, cv2.LINE_AA)
+        out.append(np.asarray(frame))
     return np.stack(out)
 
 

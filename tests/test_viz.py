@@ -141,6 +141,27 @@ def test_canonical_homographies_degenerate_frame_falls_back():
     assert tails.shape == video.shape
 
 
+def test_plot_tracks_tails_fade_dims_older_segments():
+    """Reference trail_fade semantics (viz_utils_tapir.py:758): segment
+    alpha decays with age, so on a black video the oldest trail pixels are
+    dimmer than the newest."""
+    t, h, w = 8, 40, 200
+    video = np.zeros((t, h, w, 3), np.uint8)
+    xs = np.linspace(10, 180, t, dtype=np.float32)
+    tracks = np.stack([xs, np.full(t, 20.0, np.float32)], -1)[None]  # 1×T×2
+    occ = np.zeros((1, t), bool)
+    tails = viz.plot_tracks_tails(video, tracks, occ, point_size=1)
+    last = tails[-1].astype(np.int32).sum(-1)  # brightness at frame T-1
+    old_seg = last[20, int((xs[0] + xs[1]) / 2)]
+    new_seg = last[20, int((xs[-2] + xs[-1]) / 2)]
+    assert 0 < old_seg < new_seg
+    # fade off -> uniform brightness
+    flat = viz.plot_tracks_tails(video, tracks, occ, point_size=1,
+                                 trail_fade=False)[-1].astype(np.int32).sum(-1)
+    assert flat[20, int((xs[0] + xs[1]) / 2)] == flat[
+        20, int((xs[-2] + xs[-1]) / 2)]
+
+
 def test_plot_tracks_tails_survives_extreme_homographies():
     """Near-degenerate homography chains reproject points to inf/NaN or past
     C-int range; cv2.line hard-errors on those — they must be dropped/clipped
