@@ -444,3 +444,127 @@ def test_full_tracker_forward_matches_reference(ref_modules, tmp_path):
     np.testing.assert_allclose(np.asarray(aux.frame_embeddings),
                                refined_ref.numpy(), atol=3e-3)
     np.testing.assert_allclose(np.asarray(coords), coords_ref, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def ref_dino_tracker():
+    """Import the reference's dino_tracker.py (the train-loop/loss module).
+    Only inert-at-import deps are stubbed (torchvision transforms namespace,
+    the hub-based VitExtractor); every executed line is reference code."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "models.extractor" not in sys.modules:
+        ex = types.ModuleType("models.extractor")
+        ex.VitExtractor = object
+        sys.modules["models.extractor"] = ex
+    if "antialiased_cnns" not in sys.modules:
+        aa = types.ModuleType("antialiased_cnns")
+        aa.BlurPool = torch.nn.Identity  # imported by models.tracker; unused here
+        sys.modules["antialiased_cnns"] = aa
+    import dino_tracker as ref_dt  # noqa: reference import
+    return ref_dt
+
+
+def test_bb_pairs_contrastive_loss_matches_reference(ref_dino_tracker):
+    """Symmetric InfoNCE over buddy pairs vs all patches
+    (reference dino_tracker.py:332-344) — the method touches no self state,
+    so it runs unbound on shared random features."""
+    from dino_tracker_tpu.training import losses as our_losses
+
+    rng = np.random.default_rng(21)
+    b, n, c = 12, 50, 16
+    sbb = rng.standard_normal((b, c)).astype(np.float32)
+    tbb = rng.standard_normal((b, c)).astype(np.float32)
+    sf = rng.standard_normal((n, c)).astype(np.float32)
+    tf = rng.standard_normal((n, c)).astype(np.float32)
+    for temp in (0.5, 0.2):
+        ref_st, ref_ts, _, _ = ref_dino_tracker.DINOTracker.get_bb_pairs_contrastive_loss(
+            None, torch.from_numpy(sbb), torch.from_numpy(tbb),
+            torch.from_numpy(sf), torch.from_numpy(tf), temp=temp)
+        got_st, got_ts = our_losses.bb_pairs_contrastive_loss(
+            jnp.asarray(sbb), jnp.asarray(tbb), jnp.asarray(sf),
+            jnp.asarray(tf), temp=temp)
+        np.testing.assert_allclose(np.asarray(got_st), ref_st.numpy(),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_ts), ref_ts.numpy(),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_regularization_losses_match_reference(ref_dino_tracker):
+    """norm-ratio and angle regularizers (reference dino_tracker.py:136-146)
+    on a duck-typed model carrying frame/raw embeddings."""
+    import types as _t
+
+    from dino_tracker_tpu.training import losses as our_losses
+
+    rng = np.random.default_rng(22)
+    emb = rng.standard_normal((3, 8, 9, 13)).astype(np.float32)
+    raw = (rng.standard_normal((3, 8, 9, 13)) * 2 + 0.5).astype(np.float32)
+    model = _t.SimpleNamespace(frame_embeddings=torch.from_numpy(emb),
+                               raw_embeddings=torch.from_numpy(raw))
+    ref_norm = ref_dino_tracker.DINOTracker.get_emb_norm_regularization_loss(
+        None, model).item()
+    ref_angle = ref_dino_tracker.DINOTracker.get_emb_angle_regularization_loss(
+        None, model).item()
+    got_norm = float(our_losses.emb_norm_regularization(jnp.asarray(emb),
+                                                        jnp.asarray(raw)))
+    got_angle = float(our_losses.emb_angle_regularization(jnp.asarray(emb),
+                                                          jnp.asarray(raw)))
+    np.testing.assert_allclose(got_norm, ref_norm, atol=1e-6)
+    np.testing.assert_allclose(got_angle, ref_angle, atol=1e-6)
+
+
+def test_cycle_loss_composition_matches_reference(ref_dino_tracker):
+    """gamma**dists weighting + Huber(delta=1/32) + the mean/2 assembly
+    (reference dino_tracker.py:346-352, of_loss_fn :30) on a duck-typed
+    model returning fixed cycle predictions."""
+    import types as _t
+
+    from dino_tracker_tpu.models.tracker import TrackerConfig
+    from dino_tracker_tpu.training import cycle as our_cycle
+    from dino_tracker_tpu.training.cycle import CycleData
+
+    rng = np.random.default_rng(23)
+    p = 17
+    gamma = 0.85
+    h, w = 140, 238
+    st_preds = rng.uniform(-1, 1, (p, 2)).astype(np.float32)
+    ts_preds = rng.uniform(-1, 1, (p, 2)).astype(np.float32)
+    src_norm = rng.uniform(-1, 1, (p, 2)).astype(np.float32)
+    tgt_norm = rng.uniform(-1, 1, (p, 2)).astype(np.float32)
+    tcol = rng.integers(0, 5, (p, 1)).astype(np.float32)
+    dists = (rng.random(p) * 6).astype(np.float32)
+
+    preds = {
+        "cycle_consistency_dists": torch.from_numpy(dists),
+        "source_target_coords": torch.from_numpy(st_preds),
+        "target_source_coords": torch.from_numpy(ts_preds),
+        "source_coords": torch.from_numpy(np.concatenate([src_norm, tcol], 1)),
+        "target_coords": torch.from_numpy(np.concatenate([tgt_norm, tcol], 1)),
+    }
+    fake_self = _t.SimpleNamespace(
+        config={"cyc_gamma": gamma}, fg_masks=None,
+        of_loss_fn=torch.nn.HuberLoss(delta=1 / 32, reduction="none"))
+    fake_model = _t.SimpleNamespace(
+        get_cycle_consistent_preds=lambda *_a, **_k: preds)
+    ref = ref_dino_tracker.DINOTracker.get_cycle_consistency_loss(
+        fake_self, fake_model, inputs=(None, None, None, None)).item()
+
+    scale = np.asarray([w - 1, h - 1], np.float32)
+    data = CycleData(
+        source_points=jnp.asarray((src_norm + 1) / 2 * scale),
+        target_points=jnp.asarray(
+            np.concatenate([(tgt_norm + 1) / 2 * scale, tcol], 1)),
+        source_frame_indices=jnp.zeros(p, jnp.int32),
+        target_frame_indices=jnp.zeros(p, jnp.int32),
+        dists=jnp.asarray(dists),
+        valid=jnp.ones(p, bool))
+    cfg = TrackerConfig(video_h=h, video_w=w)
+    both = jnp.asarray(np.concatenate([st_preds, ts_preds], 0))
+    got = float(our_cycle.cycle_loss_from_preds(both, data, cfg, gamma))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
