@@ -1,0 +1,156 @@
+"""Golden test: trajectory chaining vs the reference's OWN code.
+
+The reference's chaining logic — cycle-consistency masks with the
+missing-forward-warp rule (extract_trajectories.py:30-95), the
+occupancy look-behind, per-step cycle + bounds + direct-flow filters, and
+ragged NaN assembly (:164-269) — runs verbatim on CPU torch, with only its
+RAFT model swapped for a fake that serves canned flows (frames are
+constant-valued so the fake can identify which pair it is asked for). Our
+JAX chaining must reproduce the exact trajectory set from the same flows.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE),
+    reason="reference checkout not present on this machine")
+if REFERENCE not in sys.path:
+    sys.path.append(REFERENCE)
+
+T, H, W = 5, 48, 64  # divisible by 8: InputPadder is a no-op
+VAL_STEP = 20        # frame k has constant pixel value (k+1)*VAL_STEP
+
+
+def _canned_flows():
+    """Smooth deterministic flow fields for every ordered frame pair."""
+    rng = np.random.default_rng(31)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    flows = {}
+    for i in range(T):
+        for j in range(T):
+            if i == j:
+                continue
+            a, b, c, d = rng.uniform(-2.5, 2.5, 4)
+            p, q = rng.uniform(0, 2 * np.pi, 2)
+            fx = a * np.sin(2 * np.pi * ys / H + p) + b
+            fy = c * np.cos(2 * np.pi * xs / W + q) + d
+            flows[(i, j)] = np.stack([fx, fy]).astype(np.float32)  # 2×h×w
+    return flows
+
+
+FLOWS = _canned_flows()
+
+
+class FakeRaft:
+    """Stands in for torchvision's raft_large: identifies the (source,
+    target) frame pair from the constant-valued inputs and returns the
+    canned flow. Every other line executed is the reference's."""
+
+    def to(self, device):
+        return self
+
+    def eval(self):
+        return self
+
+    @staticmethod
+    def _ident(x):
+        return int(round(float(x.max()) * 255.0 / VAL_STEP)) - 1
+
+    def __call__(self, from_batch, to_batch, num_flow_updates=24):
+        out = []
+        for a, b in zip(from_batch, to_batch):
+            out.append(torch.from_numpy(FLOWS[(self._ident(a), self._ident(b))]))
+        return [torch.stack(out)]
+
+
+@pytest.fixture()
+def ref_chaining(monkeypatch, tmp_path):
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    # extract_trajectories.py imports raft_large from
+    # torchvision.models.optical_flow at module level
+    if "torchvision.models" not in sys.modules:
+        tvm = types.ModuleType("torchvision.models")
+        tvm.optical_flow = types.ModuleType("torchvision.models.optical_flow")
+        tvm.optical_flow.raft_large = lambda **kw: FakeRaft()
+        tvm.optical_flow.Raft_Large_Weights = types.SimpleNamespace(
+            DEFAULT=types.SimpleNamespace(transforms=lambda: (lambda a, b: (a, b))))
+        sys.modules["torchvision.models"] = tvm
+        sys.modules["torchvision.models.optical_flow"] = tvm.optical_flow
+
+    from preprocessing import extract_trajectories as ref_et  # reference
+
+    monkeypatch.setattr(ref_et, "raft_large", lambda **kw: FakeRaft())
+    monkeypatch.setattr(
+        ref_et, "Raft_Large_Weights", types.SimpleNamespace(
+            DEFAULT=types.SimpleNamespace(transforms=lambda: (lambda a, b: (a, b)))))
+    monkeypatch.setattr(ref_et, "device", "cpu")
+    # the one hard-coded .cuda() (extract_trajectories.py:265)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    from PIL import Image
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for k in range(T):
+        arr = np.full((H, W, 3), (k + 1) * VAL_STEP, np.uint8)
+        Image.fromarray(arr).save(frames_dir / f"{k:05d}.png")
+    return ref_et, str(frames_dir), tmp_path
+
+
+def _canon(rows):
+    """Sort trajectory rows canonically for order-independent comparison."""
+    flat = np.nan_to_num(rows, nan=-1e9).reshape(rows.shape[0], -1)
+    order = np.lexsort(flat.T[::-1])
+    return rows[order]
+
+
+@pytest.mark.parametrize("use_direct", [False, True])
+def test_chaining_matches_reference(ref_chaining, use_direct):
+    ref_et, frames_dir, tmp_path = ref_chaining
+    threshold, dthreshold, min_len = 1.5, 3.0, 2
+
+    out_path = str(tmp_path / f"traj_{use_direct}.pt")
+    args = types.SimpleNamespace(
+        frames_path=frames_dir, output_path=out_path, infer_res_size=None,
+        threshold=threshold, min_trajectory_length=min_len,
+        filter_using_direct_flow=use_direct,
+        direct_flow_threshold=dthreshold)
+    ref_et.save_trajectories(args)
+    ref = torch.load(out_path).numpy()  # N×T×2 with NaNs
+
+    from dino_tracker_tpu.preprocessing import trajectories as our_traj
+
+    flows_fwd = np.stack([FLOWS[(i, i + 1)] for i in range(T - 1)])
+    flows_bwd = np.stack([FLOWS[(i + 1, i)] for i in range(T - 1)])
+
+    direct_fn = None
+    if use_direct:
+        def direct_fn(start):
+            # the reference's own direct-flow computation (with the same
+            # fake RAFT) supplies both sides, isolating the chaining logic
+            df, dm = ref_et.compute_direct_flows_for_start_frame(
+                FakeRaft(), lambda a, b: (a, b), frames_dir, device="cpu",
+                threshold=threshold, starting_frame=start)
+            return df.numpy(), dm.numpy()
+
+    got = our_traj.extract_trajectories(
+        flows_fwd, flows_bwd, threshold=threshold,
+        min_trajectory_length=min_len, direct_flow_fn=direct_fn,
+        direct_flow_threshold=dthreshold)
+
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    a, b = _canon(np.asarray(got)), _canon(ref)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=2e-3)
