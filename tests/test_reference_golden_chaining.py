@@ -154,3 +154,61 @@ def test_chaining_matches_reference(ref_chaining, use_direct):
     a, b = _canon(np.asarray(got)), _canon(ref)
     np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
     np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=2e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_best_buddies_match_reference(monkeypatch, tmp_path, seed):
+    """The reference's own mutual-NN extraction (ordered double loop over
+    frame pairs, extract_dino_best_buddies.py:13-54) vs our unordered
+    mirror sweep, per-pair as coordinate/cos-sim sets."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+    from preprocessing_dino_bb import extract_dino_best_buddies as ref_bb
+
+    monkeypatch.setattr(ref_bb, "device", "cpu")
+
+    rng = np.random.default_rng(seed)
+    t, c, h, w, stride = 4, 12, 70, 98, 7
+    hp = 1 + (h - 14) // stride
+    wp = 1 + (w - 14) // stride
+    feats = rng.standard_normal((t, c, hp, wp)).astype(np.float32)
+    emb_path = str(tmp_path / "feats.pt")
+    torch.save(torch.from_numpy(feats), emb_path)
+    out_path = str(tmp_path / "bb.pt")
+    ref_bb.run(types.SimpleNamespace(dino_emb_path=emb_path, h=h, w=w,
+                                     stride=stride, out_path=out_path))
+    ref = torch.load(out_path)
+
+    import jax.numpy as jnp
+
+    from dino_tracker_tpu.preprocessing.best_buddies import extract_best_buddies
+
+    bb = extract_best_buddies(jnp.asarray(feats), h, w, stride=stride,
+                              cap=hp * wp)  # cap >= n: nothing truncates
+    sc = np.asarray(bb.source_coords)
+    tc = np.asarray(bb.target_coords)
+    cs = np.asarray(bb.cos_sims)
+    valid = np.asarray(bb.valid)
+
+    def rows(src, tgt, cos):
+        r = np.concatenate([src, tgt, cos[:, None]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    for s in range(t):
+        for d in range(t):
+            if s == d:
+                continue
+            entry = ref[f"{s}_{d}"]
+            ref_rows = rows(entry["source_coords"].numpy(),
+                            entry["target_coords"].numpy(),
+                            entry["cos_sims"].numpy())
+            m = valid[s, d]
+            got_rows = rows(sc[s, d][m], tc[s, d][m], cs[s, d][m])
+            assert got_rows.shape == ref_rows.shape, (s, d, got_rows.shape,
+                                                      ref_rows.shape)
+            np.testing.assert_allclose(got_rows, ref_rows, atol=1e-4,
+                                       err_msg=f"pair {s}->{d}")
