@@ -29,6 +29,14 @@ T, H, W = 5, 48, 64  # divisible by 8: InputPadder is a no-op
 VAL_STEP = 20        # frame k has constant pixel value (k+1)*VAL_STEP
 
 
+def _stub_torchvision():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+
 def _canned_flows():
     """Smooth deterministic flow fields for every ordered frame pair."""
     rng = np.random.default_rng(31)
@@ -73,11 +81,7 @@ class FakeRaft:
 
 @pytest.fixture()
 def ref_chaining(monkeypatch, tmp_path):
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
+    _stub_torchvision()
     # extract_trajectories.py imports raft_large from
     # torchvision.models.optical_flow at module level
     if "torchvision.models" not in sys.modules:
@@ -161,12 +165,7 @@ def test_best_buddies_match_reference(monkeypatch, tmp_path, seed):
     """The reference's own mutual-NN extraction (ordered double loop over
     frame pairs, extract_dino_best_buddies.py:13-54) vs our unordered
     mirror sweep, per-pair as coordinate/cos-sim sets."""
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
-
+    _stub_torchvision()
     from preprocessing_dino_bb import extract_dino_best_buddies as ref_bb
 
     monkeypatch.setattr(ref_bb, "device", "cpu")
@@ -212,3 +211,78 @@ def test_best_buddies_match_reference(monkeypatch, tmp_path, seed):
                                                       ref_rows.shape)
             np.testing.assert_allclose(got_rows, ref_rows, atol=1e-4,
                                        err_msg=f"pair {s}->{d}")
+
+
+def test_of_filter_matches_reference(monkeypatch, tmp_path):
+    """The reference's own OF-gap filter (of_filter_dino_best_buddies.py:
+    nearest-trajectory lookup per buddy endpoint, keep only pairs whose
+    trajectories are invalid across the pair) vs our batched filter, on a
+    shared mutual-NN extraction and NaN-holed trajectories."""
+    _stub_torchvision()
+    from preprocessing_dino_bb import extract_dino_best_buddies as ref_bb
+    from preprocessing_dino_bb import of_filter_dino_best_buddies as ref_of
+
+    monkeypatch.setattr(ref_bb, "device", "cpu")
+    monkeypatch.setattr(ref_of, "device", "cpu")
+
+    rng = np.random.default_rng(6)
+    t, c, h, w, stride = 4, 10, 70, 98, 7
+    hp = 1 + (h - 14) // stride
+    wp = 1 + (w - 14) // stride
+    feats = rng.standard_normal((t, c, hp, wp)).astype(np.float32)
+    emb_path = str(tmp_path / "feats.pt")
+    torch.save(torch.from_numpy(feats), emb_path)
+    bb_path = str(tmp_path / "bb.pt")
+    ref_bb.run(types.SimpleNamespace(dino_emb_path=emb_path, h=h, w=w,
+                                     stride=stride, out_path=bb_path))
+
+    n_traj = 60
+    traj = rng.random((n_traj, t, 2)).astype(np.float32) * [w - 1, h - 1]
+    holes = rng.random((n_traj, t)) < 0.5
+    traj[holes] = np.nan
+    traj_path = str(tmp_path / "traj.pt")
+    torch.save(torch.from_numpy(traj), traj_path)
+
+    out_path = str(tmp_path / "bb_filtered.pt")
+    ref_of.run(types.SimpleNamespace(dino_bb_path=bb_path, traj_path=traj_path,
+                                     out_path=out_path, dino_bb_stride=stride,
+                                     h=h, w=w))
+    ref = torch.load(out_path)
+
+    import jax.numpy as jnp
+
+    from dino_tracker_tpu.preprocessing.best_buddies import (
+        extract_best_buddies, of_filter_best_buddies)
+
+    bb = extract_best_buddies(jnp.asarray(feats), h, w, stride=stride,
+                              cap=hp * wp)
+    filt = of_filter_best_buddies(bb, traj, h, w, stride=stride)
+    sc = np.asarray(filt.source_coords)
+    tc = np.asarray(filt.target_coords)
+    cs = np.asarray(filt.cos_sims)
+    valid = np.asarray(filt.valid)
+
+    def rows(src, tgt, cos):
+        r = np.concatenate([src, tgt, cos[:, None]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    checked_nonempty = 0
+    for s in range(t):
+        for d in range(t):
+            if s == d:
+                continue
+            entry = ref[f"{s}_{d}"]
+            m = valid[s, d]
+            if entry["source_coords"] is None:
+                assert not m.any(), (s, d)
+                continue
+            checked_nonempty += 1
+            ref_rows = rows(entry["source_coords"].numpy(),
+                            entry["target_coords"].numpy(),
+                            entry["cos_sims"].numpy())
+            got_rows = rows(sc[s, d][m], tc[s, d][m], cs[s, d][m])
+            assert got_rows.shape == ref_rows.shape, (s, d, got_rows.shape,
+                                                      ref_rows.shape)
+            np.testing.assert_allclose(got_rows, ref_rows, atol=1e-4,
+                                       err_msg=f"pair {s}->{d}")
+    assert checked_nonempty > 0  # the filter must not degenerate to empty
