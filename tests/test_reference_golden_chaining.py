@@ -286,3 +286,106 @@ def test_of_filter_matches_reference(monkeypatch, tmp_path):
             np.testing.assert_allclose(got_rows, ref_rows, atol=1e-4,
                                        err_msg=f"pair {s}->{d}")
     assert checked_nonempty > 0  # the filter must not degenerate to empty
+
+
+@pytest.mark.slow
+def test_bb_nms_ambiguity_matches_reference(monkeypatch, tmp_path):
+    """Top-2-peak NMS ambiguity r (compute_dino_bb_nms.py:12-77) and its
+    cross-direction max symmetrization vs our closed-form top-2 greedy NMS.
+    The reference's lines run verbatim except ``torchvision.ops.batched_nms``
+    (package absent here), replaced by a literal greedy NMS with torchvision's
+    documented semantics (per-category, score-descending, suppress IoU>thr)."""
+    _stub_torchvision()
+
+    def greedy_batched_nms(boxes, scores, idxs, iou_threshold):
+        order = torch.argsort(scores, descending=True, stable=True)
+        keep = []
+        kept_boxes = {int(c): [] for c in idxs.unique()}
+
+        def iou(a, b):
+            ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+            iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+            inter = ix * iy
+            area_a = (a[2] - a[0]) * (a[3] - a[1])
+            area_b = (b[2] - b[0]) * (b[3] - b[1])
+            return inter / (area_a + area_b - inter)
+
+        for i in order.tolist():
+            cat = int(idxs[i])
+            box = boxes[i].tolist()
+            if all(iou(box, kb) <= iou_threshold for kb in kept_boxes[cat]):
+                keep.append(i)
+                kept_boxes[cat].append(box)
+        return torch.tensor(keep, dtype=torch.long)
+
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.batched_nms = greedy_batched_nms
+    sys.modules["torchvision.ops"] = tv_ops
+    sys.modules["torchvision"].ops = tv_ops
+
+    from preprocessing_dino_bb import compute_dino_bb_nms as ref_nms
+    from preprocessing_dino_bb import extract_dino_best_buddies as ref_bb
+    from preprocessing_dino_bb.dino_bb_utils import create_meshgrid
+
+    monkeypatch.setattr(ref_nms, "device", "cpu")
+    monkeypatch.setattr(ref_nms, "batched_nms", greedy_batched_nms)
+    monkeypatch.setattr(ref_bb, "device", "cpu")
+
+    rng = np.random.default_rng(8)
+    # the reference hardcodes topk=400 inside get_bb_sim_indices: the grid
+    # must carry >=400 candidates
+    t, c, h, w, stride = 3, 10, 154, 210, 7
+    hp = 1 + (h - 14) // stride
+    wp = 1 + (w - 14) // stride
+    feats = rng.standard_normal((t, c, hp, wp)).astype(np.float32)
+    emb_path = str(tmp_path / "feats.pt")
+    torch.save(torch.from_numpy(feats), emb_path)
+    bb_path = str(tmp_path / "bb.pt")
+    ref_bb.run(types.SimpleNamespace(dino_emb_path=emb_path, h=h, w=w,
+                                     stride=stride, out_path=bb_path))
+    ref_dict = torch.load(bb_path)
+
+    coords = create_meshgrid(h=h, w=w, step=stride)
+    box_size, iou_thresh, topk = 10.0, 0.2, 400  # small boxes: several peaks
+    dino_emb = torch.from_numpy(feats)
+    ref_r = {}
+    for s in range(t):
+        for d in range(s + 1, t):
+            bb_f = ref_nms.compute_bb_nms(ref_dict[f"{s}_{d}"], s, d, dino_emb,
+                                          coords, stride, box_size, iou_thresh)
+            bb_b = ref_nms.compute_bb_nms(ref_dict[f"{d}_{s}"], d, s, dino_emb,
+                                          coords, stride, box_size, iou_thresh)
+            bb_f, bb_b = ref_nms.compute_max_r(bb_f, bb_b)
+            ref_r[(s, d)] = bb_f["r"].numpy()
+            ref_r[(d, s)] = bb_b["r"].numpy()
+
+    import jax.numpy as jnp
+
+    from dino_tracker_tpu.preprocessing.best_buddies import (
+        compute_bb_ambiguity, extract_best_buddies)
+
+    bb = extract_best_buddies(jnp.asarray(feats), h, w, stride=stride,
+                              cap=hp * wp)
+    out = compute_bb_ambiguity(bb, jnp.asarray(feats), h, w, stride=stride,
+                               box_size=box_size, iou_thresh=iou_thresh,
+                               topk=topk)
+    r_all = np.asarray(out.r)
+    sc = np.asarray(bb.source_coords)
+    valid = np.asarray(bb.valid)
+
+    for s in range(t):
+        for d in range(t):
+            if s == d:
+                continue
+            m = valid[s, d]
+            # align rows: the reference keeps its extraction order; ours is
+            # the mirror sweep's — match by source coordinate
+            ref_src = ref_dict[f"{s}_{d}"]["source_coords"].numpy()
+            got_src = sc[s, d][m]
+            order = np.lexsort(got_src.T[::-1])
+            ref_order = np.lexsort(ref_src.T[::-1])
+            np.testing.assert_allclose(got_src[order], ref_src[ref_order],
+                                       atol=1e-4)
+            np.testing.assert_allclose(r_all[s, d][m][order],
+                                       ref_r[(s, d)][ref_order], atol=1e-4,
+                                       err_msg=f"pair {s}->{d}")
