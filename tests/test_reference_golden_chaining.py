@@ -389,3 +389,59 @@ def test_bb_nms_ambiguity_matches_reference(monkeypatch, tmp_path):
             np.testing.assert_allclose(r_all[s, d][m][order],
                                        ref_r[(s, d)][ref_order], atol=1e-4,
                                        err_msg=f"pair {s}->{d}")
+
+
+def test_occlusion_rule_matches_reference_code(monkeypatch, tmp_path):
+    """compute_occ_pred_for_qp (model_inference.py:169-177) as a direct
+    oracle for our masked-median occlusion — replaces trust in the
+    hand-written torch mirror in tests/test_inference.py."""
+    _stub_torchvision()
+    if "antialiased_cnns" not in sys.modules:
+        aa = types.ModuleType("antialiased_cnns")
+        aa.BlurPool = torch.nn.Identity
+        sys.modules["antialiased_cnns"] = aa
+    if "models.extractor" not in sys.modules:
+        ex = types.ModuleType("models.extractor")
+        ex.VitExtractor = object
+        sys.modules["models.extractor"] = ex
+
+    from models import model_inference as ref_mi
+
+    import jax
+    import jax.numpy as jnp
+
+    from dino_tracker_tpu.inference.infer import ModelInference as OurMI
+    from dino_tracker_tpu.models import tracker as our_tracker
+    from dino_tracker_tpu.models.tracker import TrackerConfig
+
+    rng = np.random.default_rng(17)
+    n, t = 6, 9
+    anch_th, cos_th = 0.7, 0.6
+    trajs = (rng.random((n, t, 2)) * 80).astype(np.float32)
+    cos = rng.random((n, t)).astype(np.float32)
+    cos[:, 0] = 1.0  # at least one anchor per query
+    green = (rng.random((n, t, t, 2)) * 80).astype(np.float32)
+
+    ref_rows = []
+    for q in range(n):
+        vis = cos[q] >= anch_th
+        # reference green only holds rows for visible anchors (T_vis × T × 2)
+        ref_rows.append(ref_mi.ModelInference.compute_occ_pred_for_qp(
+            None, torch.from_numpy(green[q][vis]),
+            torch.from_numpy(trajs[q]), torch.from_numpy(cos[q]),
+            anch_th, cos_th).numpy())
+    ref = np.stack(ref_rows)
+
+    tcfg = TrackerConfig(video_h=70, video_w=98, delta_channels=(3, 4, 4, 4, 8))
+    params, _ = our_tracker.init_tracker(jax.random.PRNGKey(0), tcfg)
+    hp, wp = tcfg.feat_hw
+    mi = OurMI(params=params,
+               refined_features=jnp.zeros((t, 8, hp, wp), jnp.float32),
+               cfg=tcfg, anchor_cosine_similarity_threshold=anch_th,
+               cosine_similarity_threshold=cos_th)
+    trajs3 = np.concatenate(
+        [trajs, np.broadcast_to(np.arange(t, dtype=np.float32),
+                                (n, t))[..., None]], axis=-1)
+    got = np.asarray(mi.compute_occlusion(
+        jnp.asarray(trajs3), jnp.asarray(cos), jnp.asarray(green)))
+    np.testing.assert_array_equal(got, ref)
