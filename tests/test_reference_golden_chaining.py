@@ -1,12 +1,12 @@
-"""Golden test: trajectory chaining vs the reference's OWN code.
+"""Golden tests: preprocessing + inference pipelines vs the reference's OWN code.
 
-The reference's chaining logic — cycle-consistency masks with the
-missing-forward-warp rule (extract_trajectories.py:30-95), the
-occupancy look-behind, per-step cycle + bounds + direct-flow filters, and
-ragged NaN assembly (:164-269) — runs verbatim on CPU torch, with only its
-RAFT model swapped for a fake that serves canned flows (frames are
-constant-valued so the fake can identify which pair it is asked for). Our
-JAX chaining must reproduce the exact trajectory set from the same flows.
+Each test runs a reference module verbatim on CPU torch — trajectory
+chaining (extract_trajectories.py, with its RAFT swapped for a fake serving
+canned flows), best-buddy extraction (extract_dino_best_buddies.py), the
+OF-gap filter (of_filter_dino_best_buddies.py), NMS ambiguity
+(compute_dino_bb_nms.py, with a literal greedy stand-in for the absent
+torchvision batched_nms), and the occlusion rule (model_inference.py) — and
+asserts our JAX implementations reproduce the exact outputs.
 """
 
 import os
