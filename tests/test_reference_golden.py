@@ -568,3 +568,55 @@ def test_cycle_loss_composition_matches_reference(ref_dino_tracker):
     both = jnp.asarray(np.concatenate([st_preds, ts_preds], 0))
     got = float(our_cycle.cycle_loss_from_preds(both, data, cfg, gamma))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_per_video_metric_assembly_matches_reference(ref_modules, tmp_path):
+    """The full per-video metric assembly — prediction-file loading, the
+    query/GT/pred rescale conventions (incl. the reference's sequential
+    query-point overwrite quirk, eval/metrics.py:205-207), strided
+    compute_tapvid_metrics, and the BADJA seg-area/3px accuracies
+    (:226-281) — against the reference's own compute_*_metrics_for_video."""
+    _, _, _, ref_metrics = ref_modules
+    rng = np.random.default_rng(33)
+    n, t, h, w = 7, 6, 120, 160
+    ph, pw = 60, 80  # prediction resolution differs from benchmark res
+
+    traj_dir = tmp_path / "trajectories"
+    occ_dir = tmp_path / "occlusions"
+    traj_dir.mkdir(), occ_dir.mkdir()
+    qframes = [0, 2]
+    video_cfg = {"video_idx": 0, "h": h, "w": w,
+                 "query_points": {}, "target_points": {}, "occluded": {}}
+    for f in qframes:
+        pts = rng.random((n, 2)).astype(np.float32) * [w - 1, h - 1]
+        video_cfg["query_points"][f] = pts.tolist()
+        video_cfg["target_points"][f] = (
+            rng.random((n, t, 2)).astype(np.float32) * [w - 1, h - 1])
+        occ = rng.random((n, t)) < 0.3
+        occ[:, f] = False
+        video_cfg["occluded"][f] = occ
+        np.save(traj_dir / f"trajectories_{f}.npy",
+                rng.random((n, t, 2)).astype(np.float32) * [pw - 1, ph - 1])
+        np.save(occ_dir / f"occlusion_preds_{f}.npy", rng.random((n, t)) < 0.3)
+    benchmark = {"videos": [video_cfg]}
+
+    ref = ref_metrics.compute_tapvid_metrics_for_video(
+        str(traj_dir), str(occ_dir), benchmark, 0, pred_video_sizes=[pw, ph])
+    got = our_metrics.compute_tapvid_metrics_for_video(
+        str(traj_dir), str(occ_dir), benchmark, 0, pred_video_sizes=[pw, ph])
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-6, err_msg=k)
+
+    # BADJA: seg-mask-area threshold + 3px accuracy
+    segs = (rng.random((t, h, w)) < 0.4).astype(np.uint8)
+    video_cfg_b = dict(video_cfg)
+    video_cfg_b["segmentations"] = segs
+    benchmark_b = {"videos": [video_cfg_b]}
+    ref_b = ref_metrics.compute_badja_metrics_for_video(
+        str(traj_dir), benchmark_b, 0, pred_video_sizes=[pw, ph])
+    got_b = our_metrics.compute_badja_metrics_for_video(
+        str(traj_dir), benchmark_b, 0, pred_video_sizes=[pw, ph])
+    assert set(got_b) == set(ref_b)
+    for k in ref_b:
+        np.testing.assert_allclose(got_b[k], ref_b[k], atol=1e-6, err_msg=k)
