@@ -312,114 +312,22 @@ def test_bilinear_interpolate_video_matches_reference():
 
 @pytest.mark.slow
 def test_full_tracker_forward_matches_reference(ref_modules, tmp_path):
-    """THE end-to-end oracle: the reference's own Tracker (models/tracker.py
-    — trilinear query sampling -> DeltaDINO residual refinement -> cosine
-    correlation -> TrackerHead) on CPU torch vs our functional tracker with
-    the same weights, video, embeddings and queries.
+    """End-to-end forward oracle: the reference's own Tracker
+    (models/tracker.py — trilinear query sampling -> DeltaDINO residual
+    refinement -> cosine correlation -> TrackerHead) on CPU torch vs our
+    functional tracker with the same weights, video, embeddings and queries.
 
     The reference's only non-importable dependency is the public
-    ``antialiased_cnns.BlurPool`` (delta_dino.py:3,44); we register a stub
-    module implementing that package's documented semantics (reflect pad +
-    binomial [1,3,3,1]^T[1,3,3,1]/36 depthwise conv, stride 2) — every other
-    line executed is the reference's own code.
-    """
-    import math
-    import types
-
-    import torch.nn.functional as F
-
-    if "antialiased_cnns" not in sys.modules:
-        mod = types.ModuleType("antialiased_cnns")
-
-        class BlurPool(torch.nn.Module):
-            def __init__(self, channels, stride=2, filt_size=4):
-                super().__init__()
-                a = torch.tensor([1.0, 3.0, 3.0, 1.0])
-                filt = a[:, None] * a[None, :]
-                filt = filt / filt.sum()
-                self.register_buffer("filt",
-                                     filt[None, None].repeat(channels, 1, 1, 1))
-                self.stride = stride
-                self.pl = (filt_size - 1) // 2
-                self.pr = int(math.ceil((filt_size - 1) / 2.0))
-                self.channels = channels
-
-            def forward(self, x):
-                x = F.pad(x, (self.pl, self.pr, self.pl, self.pr),
-                          mode="reflect")
-                return F.conv2d(x, self.filt, stride=self.stride,
-                                groups=self.channels)
-
-        mod.BlurPool = BlurPool
-        sys.modules["antialiased_cnns"] = mod
-
-    # reference utils.py / models/utils.py pull torchvision + the hub-based
-    # VitExtractor at module level; both are inert for the Tracker forward
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
-    if "models.extractor" not in sys.modules:
-        ex = types.ModuleType("models.extractor")
-        ex.VitExtractor = object
-        sys.modules["models.extractor"] = ex
-
-    from models.tracker import Tracker as RefTracker
-
+    ``antialiased_cnns.BlurPool`` (delta_dino.py:3,44); the shared-tracker
+    helper registers a stub implementing that package's documented
+    semantics — every other line executed is the reference's own code."""
     from dino_tracker_tpu.models import tracker as our_tracker
-    from dino_tracker_tpu.models.tracker import TrackerConfig, TrackerInput
+    from dino_tracker_tpu.models.tracker import TrackerInput
 
     rng = np.random.default_rng(11)
     t, h, w = 5, 70, 98
-    cfg = TrackerConfig(video_h=h, video_w=w)  # full 1024-dim DeltaDINO
-    hp, wp = cfg.feat_hw
-    video = rng.random((t, 3, h, w)).astype(np.float32)
-    dino = (rng.standard_normal((t, 1024, hp, wp)) * 0.5).astype(np.float32)
-    embed_path = str(tmp_path / "dino_embed.pt")
-    torch.save(torch.from_numpy(dino), embed_path)
-
-    ref = RefTracker(video=torch.from_numpy(video), ckpt_path=str(tmp_path),
-                     dino_embed_path=embed_path, device="cpu",
-                     dino_patch_size=cfg.dino_patch_size, stride=cfg.stride)
-    ref.eval()
-
-    # one set of weights for both sides: ours -> the reference's modules
-    params, stats = our_tracker.init_tracker(jax.random.PRNGKey(3), cfg)
-    last = params["delta_dino"]["layers"][-1]["conv"]
-    params["delta_dino"]["layers"][-1]["conv"] = {
-        "w": jnp.asarray(rng.standard_normal(last["w"].shape).astype(np.float32) * 0.02),
-        "b": jnp.asarray(rng.standard_normal(last["b"].shape).astype(np.float32) * 0.02)}
-    new_stats = []
-    for s in stats["delta_dino"]["layers"]:
-        new_stats.append({
-            "mean": jnp.asarray(rng.standard_normal(s["mean"].shape).astype(np.float32) * 0.1),
-            "var": jnp.asarray(rng.random(s["var"].shape).astype(np.float32) + 0.5)})
-    stats = {"delta_dino": {"layers": new_stats}}
-
-    with torch.no_grad():
-        convs = [m for m in ref.delta_dino.layers
-                 if isinstance(m, torch.nn.Conv2d)]
-        bns = [m for m in ref.delta_dino.layers
-               if isinstance(m, torch.nn.BatchNorm2d)]
-        for i, layer in enumerate(params["delta_dino"]["layers"]):
-            w_hwio = np.asarray(layer["conv"]["w"])  # HWIO -> OIHW
-            convs[i].weight.copy_(torch.from_numpy(
-                np.transpose(w_hwio, (3, 2, 0, 1)).copy()))
-            convs[i].bias.copy_(torch.from_numpy(np.asarray(layer["conv"]["b"]).copy()))
-            bns[i].weight.copy_(torch.from_numpy(np.asarray(layer["bn"]["scale"]).copy()))
-            bns[i].bias.copy_(torch.from_numpy(np.asarray(layer["bn"]["bias"]).copy()))
-            bns[i].running_mean.copy_(torch.from_numpy(
-                np.asarray(stats["delta_dino"]["layers"][i]["mean"]).copy()))
-            bns[i].running_var.copy_(torch.from_numpy(
-                np.asarray(stats["delta_dino"]["layers"][i]["var"]).copy()))
-        for ref_conv, ours_key in ((ref.tracker_head.cnn_refiner[0], "conv1"),
-                                   (ref.tracker_head.cnn_refiner[2], "conv2")):
-            hw = np.asarray(params["tracker_head"][ours_key]["w"])  # HWIO
-            ref_conv.weight.copy_(torch.from_numpy(
-                np.transpose(hw, (3, 2, 0, 1)).copy()))
-            ref_conv.bias.copy_(torch.from_numpy(
-                np.asarray(params["tracker_head"][ours_key]["b"]).copy()))
+    ref, params, stats, cfg, video, dino = _build_shared_reference_tracker(
+        tmp_path, rng, t=t, h=h, w=w)
 
     frames_set = np.arange(t, dtype=np.int64)
     b = 24
@@ -620,3 +528,139 @@ def test_per_video_metric_assembly_matches_reference(ref_modules, tmp_path):
     assert set(got_b) == set(ref_b)
     for k in ref_b:
         np.testing.assert_allclose(got_b[k], ref_b[k], atol=1e-6, err_msg=k)
+
+
+def _build_shared_reference_tracker(tmp_path, rng, t=5, h=70, w=98):
+    """Reference Tracker on CPU + our params/stats/config with SHARED
+    weights, video and embeddings (the wiring of
+    test_full_tracker_forward_matches_reference, reusable)."""
+    import math
+    import types
+
+    import torch.nn.functional as F
+
+    if "antialiased_cnns" not in sys.modules:
+        mod = types.ModuleType("antialiased_cnns")
+
+        class BlurPool(torch.nn.Module):
+            def __init__(self, channels, stride=2, filt_size=4):
+                super().__init__()
+                a = torch.tensor([1.0, 3.0, 3.0, 1.0])
+                filt = a[:, None] * a[None, :]
+                filt = filt / filt.sum()
+                self.register_buffer("filt",
+                                     filt[None, None].repeat(channels, 1, 1, 1))
+                self.stride = stride
+                self.pl = (filt_size - 1) // 2
+                self.pr = int(math.ceil((filt_size - 1) / 2.0))
+                self.channels = channels
+
+            def forward(self, x):
+                x = F.pad(x, (self.pl, self.pr, self.pl, self.pr),
+                          mode="reflect")
+                return F.conv2d(x, self.filt, stride=self.stride,
+                                groups=self.channels)
+
+        mod.BlurPool = BlurPool
+        sys.modules["antialiased_cnns"] = mod
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "models.extractor" not in sys.modules:
+        ex = types.ModuleType("models.extractor")
+        ex.VitExtractor = object
+        sys.modules["models.extractor"] = ex
+
+    from models.tracker import Tracker as RefTracker
+
+    from dino_tracker_tpu.models import tracker as our_tracker
+    from dino_tracker_tpu.models.tracker import TrackerConfig
+
+    cfg = TrackerConfig(video_h=h, video_w=w)
+    hp, wp = cfg.feat_hw
+    video = rng.random((t, 3, h, w)).astype(np.float32)
+    dino = (rng.standard_normal((t, 1024, hp, wp)) * 0.5).astype(np.float32)
+    embed_path = str(tmp_path / "dino_embed.pt")
+    torch.save(torch.from_numpy(dino), embed_path)
+    ref = RefTracker(video=torch.from_numpy(video), ckpt_path=str(tmp_path),
+                     dino_embed_path=embed_path, device="cpu",
+                     dino_patch_size=cfg.dino_patch_size, stride=cfg.stride)
+    ref.eval()
+
+    params, stats = our_tracker.init_tracker(jax.random.PRNGKey(3), cfg)
+    last = params["delta_dino"]["layers"][-1]["conv"]
+    params["delta_dino"]["layers"][-1]["conv"] = {
+        "w": jnp.asarray(rng.standard_normal(last["w"].shape).astype(np.float32) * 0.02),
+        "b": jnp.asarray(rng.standard_normal(last["b"].shape).astype(np.float32) * 0.02)}
+    new_stats = []
+    for s in stats["delta_dino"]["layers"]:
+        new_stats.append({
+            "mean": jnp.asarray(rng.standard_normal(s["mean"].shape).astype(np.float32) * 0.1),
+            "var": jnp.asarray(rng.random(s["var"].shape).astype(np.float32) + 0.5)})
+    stats = {"delta_dino": {"layers": new_stats}}
+
+    with torch.no_grad():
+        convs = [m for m in ref.delta_dino.layers
+                 if isinstance(m, torch.nn.Conv2d)]
+        bns = [m for m in ref.delta_dino.layers
+               if isinstance(m, torch.nn.BatchNorm2d)]
+        for i, layer in enumerate(params["delta_dino"]["layers"]):
+            w_hwio = np.asarray(layer["conv"]["w"])
+            convs[i].weight.copy_(torch.from_numpy(
+                np.transpose(w_hwio, (3, 2, 0, 1)).copy()))
+            convs[i].bias.copy_(torch.from_numpy(np.asarray(layer["conv"]["b"]).copy()))
+            bns[i].weight.copy_(torch.from_numpy(np.asarray(layer["bn"]["scale"]).copy()))
+            bns[i].bias.copy_(torch.from_numpy(np.asarray(layer["bn"]["bias"]).copy()))
+            bns[i].running_mean.copy_(torch.from_numpy(
+                np.asarray(stats["delta_dino"]["layers"][i]["mean"]).copy()))
+            bns[i].running_var.copy_(torch.from_numpy(
+                np.asarray(stats["delta_dino"]["layers"][i]["var"]).copy()))
+        for ref_conv, ours_key in ((ref.tracker_head.cnn_refiner[0], "conv1"),
+                                   (ref.tracker_head.cnn_refiner[2], "conv2")):
+            hw_ = np.asarray(params["tracker_head"][ours_key]["w"])
+            ref_conv.weight.copy_(torch.from_numpy(
+                np.transpose(hw_, (3, 2, 0, 1)).copy()))
+            ref_conv.bias.copy_(torch.from_numpy(
+                np.asarray(params["tracker_head"][ours_key]["b"]).copy()))
+    return ref, params, stats, cfg, video, dino
+
+
+@pytest.mark.slow
+def test_full_inference_matches_reference(ref_modules, tmp_path):
+    """CAPSTONE oracle: the reference's entire ModelInference.infer()
+    (models/model_inference.py — per-query trajectory loops, cos sims,
+    visible-anchor re-tracking, masked-median occlusion) vs our batched
+    multi-target inference, with shared weights/video/embeddings."""
+    ref_dataset = ref_modules[0]
+    rng = np.random.default_rng(29)
+    t, h, w = 5, 70, 98
+    ref, params, stats, cfg, video, dino = _build_shared_reference_tracker(
+        tmp_path, rng, t=t, h=h, w=w)
+
+    from models import model_inference as ref_mi
+
+    range_normalizer = ref_dataset.RangeNormalizer(shapes=(w, h, t))
+    rmi = ref_mi.ModelInference(
+        model=ref, range_normalizer=range_normalizer,
+        anchor_cosine_similarity_threshold=0.5,
+        cosine_similarity_threshold=0.5)
+    q = np.asarray([[20.0, 30.0, 0.0], [50.0, 40.0, 2.0], [70.0, 10.0, 4.0]],
+                   np.float32)
+    with torch.no_grad():
+        ref_trajs, ref_occ = rmi.infer(torch.from_numpy(q))
+
+    from dino_tracker_tpu.inference.infer import ModelInference as OurMI
+    from dino_tracker_tpu.models import tracker as our_tracker
+
+    refined = our_tracker.cache_refined_embeddings(
+        params, stats, jnp.asarray(video), jnp.asarray(dino), cfg)
+    np.testing.assert_allclose(np.asarray(refined),
+                               ref.refined_features.detach().numpy(), atol=3e-3)
+    mi = OurMI(params=params, refined_features=refined, cfg=cfg,
+               anchor_cosine_similarity_threshold=0.5,
+               cosine_similarity_threshold=0.5)
+    got_trajs, got_occ = mi.infer(q)
+    np.testing.assert_allclose(got_trajs, ref_trajs.numpy(), atol=0.1)
+    np.testing.assert_array_equal(got_occ, ref_occ.numpy())
