@@ -105,6 +105,7 @@ def run_harness(argv):
         sys.argv = old
 
 
+@pytest.mark.slow
 def test_parity_gates_pass_on_standins(harness_env, capsys):
     root = harness_env
     rc = run_harness([
