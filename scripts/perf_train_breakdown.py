@@ -118,7 +118,20 @@ def main():
                                             cfg.cyc_gamma)
 
     timed(jax.jit(cyc), (state.params, refined, sample.frames_set_t,
-                         data.fg_masks, key), name="cycle_fwd")
+                         data.fg_masks, key), name="cycle_fwd_flat")
+
+    # production path: blocked per-pair single-target correlations
+    def cyc_grouped(p, refined, fs, fg, k):
+        cd = cycle.generate_cycle_data(k, p, refined, fs, fg, tcfg,
+                                       cfg.cyc_n_frames,
+                                       cfg.cyc_batch_size_per_frame,
+                                       cfg.cyc_fg_points_ratio, cfg.cyc_thresh)
+        return cycle.cycle_consistency_loss(
+            p, refined, fs, cd, tcfg, cfg.cyc_gamma,
+            group_size=cfg.cyc_batch_size_per_frame)
+
+    timed(jax.jit(cyc_grouped), (state.params, refined, sample.frames_set_t,
+                                 data.fg_masks, key), name="cycle_fwd_grouped")
 
     # 7. contrastive losses forward
     def cl_dino(k, refined, fs):
