@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .select import topk_mask
+
 
 def same_size_box_iou(centers_a, centers_b, half_size: float):
     """IoU between axis-aligned boxes of identical side 2·half_size centered
@@ -37,14 +39,19 @@ def nms_top2_peaks(scores_bn, coords_n2, topk: int = 400,
     centers of the N candidates. Returns (peak_affs B×2, r B) with
     r = peak2/peak1 (the ambiguity ratio).
     """
+    # lax.top_k at B=1024, n=8107, k=400 dominated the ambiguity pass; the
+    # greedy-NMS outcome only needs top-k *membership*, not the sorted list:
+    # peak2 = max over {top-k candidates with IoU(peak1) <= thresh}. A
+    # radix-select membership mask (ops/select.py) + masked max over all n
+    # computes the identical result with vector ops only.
     k = min(topk, scores_bn.shape[1])
-    vals, idx = jax.lax.top_k(scores_bn, k)  # B×k
-    cand = coords_n2[idx]  # B×k×2
-    peak1_val = vals[:, 0]
-    peak1_xy = cand[:, 0]
-    iou = same_size_box_iou(cand, peak1_xy[:, None, :], box_size)  # B×k
-    eligible = iou <= iou_thresh
-    masked = jnp.where(eligible, vals, -jnp.inf)
+    in_topk = topk_mask(scores_bn, k)  # B×n
+    peak1_val = jnp.max(scores_bn, axis=1)
+    peak1_xy = coords_n2[jnp.argmax(scores_bn, axis=1)]  # B×2
+    iou = same_size_box_iou(coords_n2[None, :, :], peak1_xy[:, None, :],
+                            box_size)  # B×n
+    eligible = in_topk & (iou <= iou_thresh)
+    masked = jnp.where(eligible, scores_bn, -jnp.inf)
     peak2_val = jnp.max(masked, axis=1)
     peak2_val = jnp.where(jnp.isfinite(peak2_val), peak2_val, 0.0)
     peaks = jnp.stack([peak1_val, peak2_val], axis=1)

@@ -36,6 +36,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 from ..ops.nms import nms_top2_peaks
+from ..ops.select import compact_mask, topk_mask
 from ..parallel.mesh import constrain_batch, pad_to_multiple
 from ..structures import BBData
 from ..utils.coords import bb_meshgrid
@@ -74,23 +75,22 @@ def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
         keep = traj_invalid[src_traj, t_frame] & traj_invalid[tgt_traj, s_frame]
         is_bb = is_bb & keep
     # keep the strongest-cosine buddies when count exceeds capacity (small
-    # frames can have fewer tokens than the capacity — pad instead)
+    # frames can have fewer tokens than the capacity — pad instead).
+    # lax.top_k at this shape (k=1024 of n=8107) was 15.5 of the core's
+    # 18.7 ms (scripts/perf_bb_probe.py) — the radix-select membership mask
+    # + one-hot compaction computes the same set with vector ops only; the
+    # surviving buddies come out in token-index order instead of descending
+    # cosine (downstream treats them as a set).
     score = jnp.where(is_bb, cos, -jnp.inf)
-    k = min(cap, n)
-    top_vals, top_idx = jax.lax.top_k(score, k)
-    if k < cap:
-        top_vals = jnp.concatenate(
-            [top_vals, jnp.full((cap - k,), -jnp.inf, top_vals.dtype)])
-        top_idx = jnp.concatenate(
-            [top_idx, jnp.zeros((cap - k,), top_idx.dtype)])
-    valid = jnp.isfinite(top_vals)
+    mask = topk_mask(score, min(cap, n)) & is_bb
+    top_idx, top_vals, valid = compact_mask(mask, cos, cap, fill_value=0.0)
     # true (pre-cap) mutual-NN count: the reference keeps ALL pairs as
     # ragged lists (extract_dino_best_buddies.py:26-44) — report how many
     # the fixed capacity would drop so the cap is never silent
     count = jnp.sum(is_bb).astype(jnp.int32)
-    return (top_idx.astype(jnp.int32),
+    return (top_idx,
             src_max[top_idx].astype(jnp.int32),
-            jnp.where(valid, top_vals, 0.0),
+            top_vals,
             valid,
             count)
 
