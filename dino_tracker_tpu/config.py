@@ -100,7 +100,9 @@ class TrainConfig:
     # DINO variant (sets the feature dim the DeltaDINO refiner must emit)
     dino_model_name: str = "dinov2_vitl14"
     # TPU-specific knobs (ours)
-    bb_max_pairs_per_frame_pair: int = 1024  # padded best-buddy capacity
+    # padded best-buddy capacity; None = adaptive (keep all, like the
+    # reference's ragged lists, trimmed to the observed max count)
+    bb_max_pairs_per_frame_pair: Optional[int] = None
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
     steps_per_call: int = 25  # train iterations fused per dispatch (lax.scan)
 
@@ -153,7 +155,7 @@ class PreprocessConfig:
     dino_bb_iou_threshold: float = 0.2
     dino_bb_nms_topk: int = 400
     # TPU-specific knobs (ours)
-    bb_max_pairs_per_frame_pair: int = 1024
+    bb_max_pairs_per_frame_pair: Optional[int] = None  # None = adaptive
     max_frames: int = 400  # cap on feature extraction length
     compute_dtype: str = "bfloat16"  # ViT extraction matmul dtype
     extract_frames_per_batch: int = 4

@@ -17,8 +17,10 @@ forward one, which also makes the r-symmetrization index-aligned instead of
 the reference's coordinate-matching loop). Pairs batch on a leading axis
 (vmap over one jitted program) and shard across chips when a mesh is given;
 the batch size is HBM-budgeted against the P×n×n affinity working set.
-Ragged per-pair buddy lists become BBData padded to a fixed capacity
-(strongest-cosine buddies kept when over capacity). The nearest-trajectory
+Ragged per-pair buddy lists become BBData padded to a shared capacity —
+adaptive by default (the sweep runs uncapped, then trims to the largest
+observed per-pair count, so nothing is ever dropped; an explicit int cap
+keeps the strongest-cosine buddies instead). The nearest-trajectory
 grids are chunked running-argmin reductions instead of a per-point python
 loop.
 """
@@ -81,8 +83,13 @@ def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
     # + one-hot compaction computes the same set with vector ops only; the
     # surviving buddies come out in token-index order instead of descending
     # cosine (downstream treats them as a set).
-    score = jnp.where(is_bb, cos, -jnp.inf)
-    mask = topk_mask(score, min(cap, n)) & is_bb
+    if min(cap, n) >= n:
+        # uncapped (adaptive mode): mutual-NN count is <= n by construction,
+        # so no selection is needed — skip the radix select entirely
+        mask = is_bb
+    else:
+        score = jnp.where(is_bb, cos, -jnp.inf)
+        mask = topk_mask(score, min(cap, n)) & is_bb
     top_idx, top_vals, valid = compact_mask(mask, cos, cap, fill_value=0.0)
     # true (pre-cap) mutual-NN count: the reference keeps ALL pairs as
     # ragged lists (extract_dino_best_buddies.py:26-44) — report how many
@@ -100,7 +107,7 @@ _AFFINITY_BUDGET_BYTES = 2 << 30
 
 
 def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
-                         patch_size: int = 14, cap: int = 1024,
+                         patch_size: int = 14, cap: Optional[int] = None,
                          compute_dtype=jnp.float32,
                          progress: bool = False,
                          unfiltered_trajectories: Optional[np.ndarray] = None,
@@ -125,6 +132,14 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
     flat = jnp.asarray(features_tchw).reshape(t, c, -1).transpose(0, 2, 1)
     flat = flat.astype(compute_dtype)
     n = flat.shape[1]
+    # cap=None (default): adaptive — sweep uncapped at capacity n (mutual-NN
+    # count can never exceed n, so nothing is EVER truncated, matching the
+    # reference's ragged keep-all lists), then trim the padded axis to the
+    # largest observed per-pair count before returning. A fixed int cap
+    # remains available as an explicit memory knob.
+    adaptive = cap is None
+    if adaptive:
+        cap = n
 
     use_filter = unfiltered_trajectories is not None
     closest = invalid = None
@@ -134,7 +149,10 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
         invalid = jnp.asarray(np.isnan(unfiltered_trajectories).any(axis=-1))
 
     n_dev = mesh.devices.size if mesh is not None else 1
-    bsz = min(pair_batch, max(1, _AFFINITY_BUDGET_BYTES // (n * n * 4)))
+    # working set per pair: the n×n affinity plus the cap×n compaction
+    # one-hot (both f32)
+    bsz = min(pair_batch,
+              max(1, _AFFINITY_BUDGET_BYTES // (n * n * 4 + cap * n * 4)))
     bsz = max(bsz, n_dev)
     bsz -= bsz % n_dev
 
@@ -193,8 +211,20 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
             counts.append(int(ct_b[j]))
 
     counts = np.asarray(counts, np.int64)
+    if adaptive:
+        # nothing was truncated (capacity == n). Trim the padded buddy axis
+        # to the largest observed count (slots are packed in index order by
+        # compact_mask, so a prefix slice keeps every valid entry), rounded
+        # up to a lane-friendly multiple of 128.
+        maxc = int(counts.max()) if counts.size else 0
+        cap = min(n, max(128, -(-maxc // 128) * 128))
+        src_c = src_c[:, :, :cap]
+        tgt_c = tgt_c[:, :, :cap]
+        cos = cos[:, :, :cap]
+        valid = valid[:, :, :cap]
     stats = {
         "cap": int(cap),
+        "adaptive": bool(adaptive),
         "total_pairs": int(counts.size),
         "truncated_pairs": int(np.sum(counts > cap)),
         "truncated_frac": float(np.mean(counts > cap)) if counts.size else 0.0,
@@ -204,8 +234,9 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
     if telemetry is not None:
         telemetry.update(stats)
     log = logger.warning if stats["truncated_pairs"] else logger.info
-    log("best-buddy capacity cap=%d: %d/%d frame pairs truncated "
-        "(max mutual-NN count %d, mean %.1f)", cap, stats["truncated_pairs"],
+    log("best-buddy capacity cap=%d%s: %d/%d frame pairs truncated "
+        "(max mutual-NN count %d, mean %.1f)", cap,
+        " (adaptive)" if adaptive else "", stats["truncated_pairs"],
         stats["total_pairs"], stats["max_count"], stats["mean_count"])
 
     return BBData(jnp.asarray(src_c), jnp.asarray(tgt_c), jnp.asarray(cos),

@@ -307,3 +307,35 @@ def test_bb_ambiguity_mesh_matches_single_device():
                                           stride, topk=8, mesh=make_mesh(8))
     np.testing.assert_allclose(np.asarray(base.r), np.asarray(sharded.r),
                                atol=1e-5)
+
+
+def test_extract_best_buddies_adaptive_cap():
+    """cap=None (the default): the sweep runs uncapped, then trims the buddy
+    axis to the largest observed per-pair count (multiple of 128, floor 128)
+    — nothing is ever truncated, matching the reference's ragged keep-all
+    lists (extract_dino_best_buddies.py:26-44)."""
+    h, w, stride = 42, 56, 7
+    grid = np.asarray(bb_meshgrid(h, w, stride))
+    n = grid.shape[0]  # 35
+    c = 16
+    feats = RNG.standard_normal((3, c, 5, 7)).astype(np.float32)
+    telemetry: dict = {}
+    bb = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride,
+                                     telemetry=telemetry)
+    assert telemetry["adaptive"] is True
+    assert telemetry["truncated_pairs"] == 0
+    # trimmed capacity: >= max observed count, lane-rounded, never above n
+    assert telemetry["cap"] == min(n, max(128, -(-telemetry["max_count"]
+                                                 // 128) * 128))
+    assert bb.valid.shape[-1] == telemetry["cap"]
+    # equals the explicit uncapped run on the shared prefix
+    ref = bb_lib.extract_best_buddies(jnp.asarray(feats), h, w, stride, cap=n)
+    k = bb.valid.shape[-1]
+    np.testing.assert_array_equal(np.asarray(bb.valid),
+                                  np.asarray(ref.valid)[:, :, :k])
+    np.testing.assert_allclose(np.asarray(bb.source_coords),
+                               np.asarray(ref.source_coords)[:, :, :k])
+    np.testing.assert_allclose(np.asarray(bb.cos_sims),
+                               np.asarray(ref.cos_sims)[:, :, :k])
+    # everything past the trim point in the uncapped run was invalid padding
+    assert not np.asarray(ref.valid)[:, :, k:].any()
