@@ -47,7 +47,7 @@ class RaftFlowEngine:
         self._padded = np.asarray(self.padder.pad(jnp.asarray(self.video_tchw)))
         self._enc = None  # lazy (fmap, net, inp), device-resident, T leading
         self._decode_jit = None  # cached jitted gather+decode
-        self._direct_jit = None  # cached jitted fwd+bwd decode + cycle mask
+        self._sweep_jits = {}  # n_batches -> jitted per-start direct sweep
         self._adj = None  # cached adjacent flows (both trajectory passes use them)
 
     def _encodings(self):
@@ -139,86 +139,108 @@ class RaftFlowEngine:
             self._adj = (fwd, bwd)
         return self._adj
 
-    def _direct_batch(self, fmaps, nets, inps, idx_a, idx_b, threshold):
-        """Jitted fwd+bwd decode + cycle-consistency mask for one pair batch.
+    def _direct_sweep_fn(self, n_batches: int):
+        """ONE jitted program for a whole per-start direct-flow sweep:
+        ``n_batches`` fixed-size pair chunks under ``lax.map`` (fwd+bwd
+        decode + cycle mask per chunk) assembled to (t-1)-row outputs with
+        static shapes.
 
-        Everything stays on device: the naive split (decode → host → re-upload
-        → mask) shuttles ~900 MB of full-res flow fields over the host link
-        per start frame on a 50-frame video — the measured preprocessing
-        dominator (~300 s/start-frame through the TPU relay, i.e. hours per
-        video). Fused + device-resident, only the (already tiny) chained
-        trajectories ever leave the device."""
+        Everything stays on device — the naive split (decode → host →
+        re-upload → mask) shuttles ~900 MB of flow fields over the host link
+        per start frame. Just as important: ONE dispatch per start frame.
+        The previous per-batch dispatch loop + eager slice/zeros/concat
+        assembly had per-START-frame shapes, and the TPU-relay probe
+        (scripts/perf_traj_probe.py) measured it at ~2.5-3.5 s of fixed
+        overhead per call vs ~0.8 s/chunk of actual decode — per-shape eager
+        compiles and extra round trips that summed to ~minutes per video.
+        ``n_batches`` takes ceil((t-1-start)/pair_batch) distinct values
+        (≤4 at T=50), so at most that many compiled variants exist; the
+        ``start`` scalar itself is traced, not baked in."""
         mesh = self.mesh
-        if self._direct_jit is None:
-            l, r, tp, bp = self.padder._pad
-            h, w = self.h, self.w
+        n_dev = mesh.devices.size if mesh is not None else 1
+        bsz = max(self.pair_batch, n_dev)
+        bsz -= bsz % n_dev
+        tm1 = self.t - 1
+        l, r, tp, bp = self.padder._pad
+        h, w = self.h, self.w
 
-            def unpad(x):
-                hp, wp = x.shape[-2:]
-                return x[..., tp:hp - bp, l:wp - r]
+        def unpad(x):
+            hp, wp = x.shape[-2:]
+            return x[..., tp:hp - bp, l:wp - r]
 
-            def fn(params, fmaps, nets, inps, ia, ib, thresh):
-                def dec(i1, i2):
-                    f1 = constrain_batch(jnp.take(fmaps, i1, axis=0), mesh)
-                    f2 = constrain_batch(jnp.take(fmaps, i2, axis=0), mesh)
-                    net = constrain_batch(jnp.take(nets, i1, axis=0), mesh)
-                    inp = constrain_batch(jnp.take(inps, i1, axis=0), mesh)
-                    return constrain_batch(
-                        raft.raft_decode(params, f1, f2, net, inp,
-                                         num_iters=self.num_iters), mesh)
+        def fn(params, fmaps, nets, inps, start, thresh):
+            total = n_batches * bsz
+            ks = jnp.arange(total, dtype=jnp.int32)
+            tgt = jnp.clip(start + 1 + ks, 0, tm1)  # junk rows masked below
+            src = jnp.full((total,), start, jnp.int32)
 
-                fwd = unpad(dec(ia, ib))  # n×2×h×w (source-frame grid)
+            def dec(i1, i2):
+                f1 = constrain_batch(jnp.take(fmaps, i1, axis=0), mesh)
+                f2 = constrain_batch(jnp.take(fmaps, i2, axis=0), mesh)
+                net = constrain_batch(jnp.take(nets, i1, axis=0), mesh)
+                inp = constrain_batch(jnp.take(inps, i1, axis=0), mesh)
+                return constrain_batch(
+                    raft.raft_decode(params, f1, f2, net, inp,
+                                     num_iters=self.num_iters), mesh)
+
+            def chunk(i):
+                ia = jax.lax.dynamic_slice_in_dim(src, i * bsz, bsz)
+                ib = jax.lax.dynamic_slice_in_dim(tgt, i * bsz, bsz)
+                fwd = unpad(dec(ia, ib))  # bsz×2×h×w (source-frame grid)
                 bwd = unpad(dec(ib, ia))
                 # one implementation of the cycle-consistency mask shared
                 # with the host oracle used by tests / alternate engines
                 mask = _cycle_masks_batched(fwd, bwd, thresh).astype(
                     jnp.float32)
-                dflows = jnp.transpose(fwd, (0, 2, 3, 1))  # n×h×w×2
-                return constrain_batch(dflows, mesh), constrain_batch(mask, mesh)
+                return jnp.transpose(fwd, (0, 2, 3, 1)), mask  # n×h×w×2
 
-            self._direct_jit = jax.jit(fn)
-        if mesh is not None:
-            with mesh:
-                return self._direct_jit(self.params, fmaps, nets, inps,
-                                        idx_a, idx_b, threshold)
-        return self._direct_jit(self.params, fmaps, nets, inps, idx_a, idx_b,
-                                threshold)
+            dflows, masks = jax.lax.map(
+                chunk, jnp.arange(n_batches, dtype=jnp.int32))
+            dflows = dflows.reshape(total, h, w, 2)
+            masks = masks.reshape(total, h, w)
+            valid = (start + 1 + ks) <= tm1
+            dflows = jnp.where(valid[:, None, None, None], dflows, 0.0)
+            masks = jnp.where(valid[:, None, None], masks, 0.0)
+            if total >= tm1:
+                dflows, masks = dflows[:tm1], masks[:tm1]
+            else:
+                pad = tm1 - total
+                dflows = jnp.concatenate(
+                    [dflows, jnp.zeros((pad, h, w, 2), jnp.float32)])
+                masks = jnp.concatenate(
+                    [masks, jnp.zeros((pad, h, w), jnp.float32)])
+            return (constrain_batch(dflows, mesh),
+                    constrain_batch(masks, mesh))
+
+        return jax.jit(fn)
 
     def direct_flows(self, start: int, threshold: float
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Direct flow start→f for all f>start + fwd/bwd cycle masks
         (reference :99-160). Returns DEVICE arrays padded to the full frame
         count — ((t-1)×h×w×2 flows, (t-1)×h×w masks); rows ≥ t-1-start are
-        zero. Downstream chaining consumes these on device directly."""
+        zero. Downstream chaining consumes these on device directly. One
+        dispatch per call (see _direct_sweep_fn)."""
         fmaps, nets, inps = self._encodings()
-        targets = np.arange(start + 1, self.t)
-        src = np.full_like(targets, start)
-        n = len(targets)
+        n = self.t - 1 - start
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         bsz = max(self.pair_batch, n_dev)
         bsz -= bsz % n_dev
-        thresh = jnp.asarray(threshold, jnp.float32)
-        flow_chunks, mask_chunks = [], []
-        for s in range(0, n, bsz):
-            e = min(s + bsz, n)
-            ia = pad_to_multiple(src[s:e].astype(np.int32), bsz)
-            ib = pad_to_multiple(targets[s:e].astype(np.int32), bsz)
-            dflows, masks = retry_transient(
-                lambda: self._direct_batch(fmaps, nets, inps,
-                                           jnp.asarray(ia), jnp.asarray(ib),
-                                           thresh),
-                what="raft direct pair batch")
-            flow_chunks.append(dflows[: e - s])
-            mask_chunks.append(masks[: e - s])
-        tm1 = self.t - 1
-        pad_rows = tm1 - n
-        if pad_rows:
-            flow_chunks.append(jnp.zeros((pad_rows, self.h, self.w, 2),
-                                         jnp.float32))
-            mask_chunks.append(jnp.zeros((pad_rows, self.h, self.w),
-                                         jnp.float32))
-        return (jnp.concatenate(flow_chunks, axis=0),
-                jnp.concatenate(mask_chunks, axis=0))
+        n_batches = max(1, -(-n // bsz))
+        fn = self._sweep_jits.get(n_batches)
+        if fn is None:
+            fn = self._sweep_jits[n_batches] = self._direct_sweep_fn(n_batches)
+
+        def run():
+            args = (self.params, fmaps, nets, inps,
+                    jnp.asarray(start, jnp.int32),
+                    jnp.asarray(threshold, jnp.float32))
+            if self.mesh is not None:
+                with self.mesh:
+                    return fn(*args)
+            return fn(*args)
+
+        return retry_transient(run, what="raft direct sweep")
 
 
 @jax.jit

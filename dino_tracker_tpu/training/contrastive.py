@@ -124,13 +124,19 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
     flat = frame_embeddings.reshape(s, c, n)
     flat_sg = jax.lax.stop_gradient(view.flat_cd)
     norms_sg = jax.lax.stop_gradient(view.norms)
+    # pre-normalize the c×n slabs (16 MB/frame) so the einsum output IS the
+    # cosine affinity — normalizing the n×n f32 map afterwards re-read and
+    # re-wrote ~263 MB per pair (the measured cl_ref dominator). Row/column
+    # scaling by positive norms preserves both argmaxes, so the mutual-NN
+    # set is unchanged; the reference's exact EPS-clamped weight values are
+    # recomputed below from the selected columns only.
+    unit_sg = flat_sg / jnp.clip(norms_sg[:, None, :], min=EPS).astype(
+        flat_sg.dtype)
 
     def pair_loss(k, src_idx, tgt_idx):
-        # n×n cosine affinity on the (no-grad) compute-dtype slabs
-        aff = jnp.einsum("cn,cm->nm", flat_sg[src_idx], flat_sg[tgt_idx],
+        # n×n cosine affinity on the (no-grad) unit compute-dtype slabs
+        aff = jnp.einsum("cn,cm->nm", unit_sg[src_idx], unit_sg[tgt_idx],
                          preferred_element_type=jnp.float32)
-        aff = aff / jnp.clip(norms_sg[src_idx][:, None]
-                             * norms_sg[tgt_idx][None, :], min=EPS)
         src_is_bb, tgt_of_src = losses.mutual_nn(aff)
 
         sf = frames_set_t[src_idx]
@@ -149,7 +155,16 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
         cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
             src_f, tgt_f, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
             view.norms[src_idx], view.norms[tgt_idx], temp)
-        w_cos = jnp.clip(2.0 * aff[sel_src, sel_tgt] ** 3, min=0.0)
+        # selected-pair cosines with the reference's exact EPS-clamped
+        # formula, recomputed in f32 from the raw columns (k×c dots — the
+        # full bf16 affinity is only ever used for the argmax set)
+        sel_cos = jnp.einsum("kc,kc->k",
+                             jax.lax.stop_gradient(src_f),
+                             jax.lax.stop_gradient(tgt_f),
+                             preferred_element_type=jnp.float32)
+        sel_cos = sel_cos / jnp.clip(
+            norms_sg[src_idx][sel_src] * norms_sg[tgt_idx][sel_tgt], min=EPS)
+        w_cos = jnp.clip(2.0 * sel_cos ** 3, min=0.0)
         return jnp.sum((cl1 + cl2) * w_cos * sel_valid)
 
     pair_keys = jax.random.split(k_sel, n_pairs)

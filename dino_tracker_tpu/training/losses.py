@@ -34,16 +34,23 @@ def masked_gumbel_topk(key, mask, k: int):
     ``valid[i]`` is False for slots beyond the masked population size.
     When the candidate array itself is smaller than ``k`` (tiny-scale
     configs where the BB capacity < points-per-pair), the surplus slots
-    are returned as invalid instead of tripping top_k's k<=n requirement.
+    are returned as invalid.
+
+    ``lax.top_k`` is an iterative partial sort on TPU — at the cycle loss's
+    shape (k~128 of h*w=406k, 8 calls per train step) it dominated the
+    loss's forward. The selected *set* is all callers consume (every use
+    sums over it), so the radix-select membership mask + one-hot compaction
+    (ops/select.py) computes it with vector ops only; indices come out
+    ascending instead of score-ordered.
     """
+    from ..ops.select import compact_mask, topk_mask
     n = mask.shape[0]
     scores = jax.random.gumbel(key, (n,)) + jnp.where(mask, 0.0, -jnp.inf)
-    vals, idx = jax.lax.top_k(scores, min(k, n))
-    if n < k:
-        idx = jnp.concatenate([idx, jnp.zeros((k - n,), idx.dtype)])
-        vals = jnp.concatenate([vals, jnp.full((k - n,), -jnp.inf,
-                                               vals.dtype)])
-    return idx, jnp.isfinite(vals)
+    # & mask: when fewer than k candidates exist, topk_mask fills its quota
+    # with -inf (unmasked) slots — drop them; compact_mask's valid covers it
+    sel = topk_mask(scores, min(k, n)) & mask
+    idx, _, valid = compact_mask(sel, scores, k)
+    return idx, valid
 
 
 def sample_fg_mask_at_points(fg_mask_hw, coords_xy, resw: int, resh: int):
