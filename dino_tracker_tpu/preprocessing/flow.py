@@ -265,7 +265,7 @@ def compute_direct_flow_masks(fwd_n2hw: np.ndarray, bwd_n2hw: np.ndarray,
                               threshold: float) -> Tuple[np.ndarray, np.ndarray]:
     """Host-array convenience wrapper around ``_cycle_masks_batched``
     (tests / alternate flow engines; the production sweep fuses this into
-    ``RaftFlowEngine._direct_batch`` and never leaves the device)."""
+    ``RaftFlowEngine._direct_sweep_fn`` and never leaves the device)."""
     masks = np.asarray(_cycle_masks_batched(
         jnp.asarray(fwd_n2hw), jnp.asarray(bwd_n2hw),
         jnp.asarray(threshold, jnp.float32)))

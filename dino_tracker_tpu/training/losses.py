@@ -30,8 +30,11 @@ def masked_gumbel_topk(key, mask, k: int):
     """Uniformly sample up to ``k`` distinct indices where ``mask`` is true.
 
     Equivalent to torch ``randperm(count)[:k]`` over the masked subset
-    (Gumbel top-k over a flat mask). Returns (indices [k], valid [k]) —
-    ``valid[i]`` is False for slots beyond the masked population size.
+    (Gumbel top-k over a flat mask). Returns (indices [k], valid [k]):
+    indices are in ASCENDING index order (not score order) with invalid
+    slots zero-filled, and ``valid[i]`` is False for slots beyond the
+    masked population size — callers must treat the result as a set and
+    mask invalid slots.
     When the candidate array itself is smaller than ``k`` (tiny-scale
     configs where the BB capacity < points-per-pair), the surplus slots
     are returned as invalid.
