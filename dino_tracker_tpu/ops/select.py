@@ -83,6 +83,13 @@ def compact_mask(mask, values, k: int, fill_value=0.0):
     count. The compaction is a one-hot contraction (slot j matches the
     element whose inclusive cumsum equals j+1), which XLA maps onto dense
     vector ops instead of a serialized scatter.
+
+    Memory note: the k×n one-hot is materialized as f32 for the dot. At the
+    largest production call site (cycle loss: n=h·w≈406k, k≈128, 8 vmapped
+    calls/step) that is ~1.6 GB transient if XLA does NOT fuse the
+    cumsum-compare producer into the dot operand — within v5e headroom and
+    short-lived, but if live-memory profiles ever show pressure here,
+    segment the contraction over n (accumulate k×2 partials per slab).
     """
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32))  # inclusive; value at True i = rank+1

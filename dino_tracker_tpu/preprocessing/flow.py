@@ -47,7 +47,7 @@ class RaftFlowEngine:
         self._padded = np.asarray(self.padder.pad(jnp.asarray(self.video_tchw)))
         self._enc = None  # lazy (fmap, net, inp), device-resident, T leading
         self._decode_jit = None  # cached jitted gather+decode
-        self._sweep_jits = {}  # n_batches -> jitted per-start direct sweep
+        self._sweep_jit = None  # ONE jitted per-start direct sweep (all starts)
         self._adj = None  # cached adjacent flows (both trajectory passes use them)
 
     def _encodings(self):
@@ -139,40 +139,40 @@ class RaftFlowEngine:
             self._adj = (fwd, bwd)
         return self._adj
 
-    def _direct_sweep_fn(self, n_batches: int):
-        """ONE jitted program for a whole per-start direct-flow sweep:
-        ``n_batches`` fixed-size pair chunks under ``lax.map`` (fwd+bwd
-        decode + cycle mask per chunk) assembled to (t-1)-row outputs with
-        static shapes.
+    def direct_sweep_traceable(self):
+        """Pure per-start direct-flow sweep for jit composition: returns
+        ``(fn, operands)`` where ``fn(*operands, start_i32, thresh_f32) ->
+        (dflows (t-1)×h×w×2, dmasks (t-1)×h×w)``.
 
+        ONE compiled program serves every start frame: the pair chunks run
+        under a ``lax.fori_loop`` whose trip count ``ceil((t-1-start)/bsz)``
+        is computed from the TRACED ``start``. The previous design compiled
+        one variant per distinct chunk count — the TPU-relay probe
+        (scripts/perf_traj_probe.py, PERF.md r4) measured each such variant
+        at a 25-80 s compile while the warm decode itself was ~1.4 s/chunk,
+        i.e. compiles, not decode, dominated the 427 s trajectories stage.
         Everything stays on device — the naive split (decode → host →
         re-upload → mask) shuttles ~900 MB of flow fields over the host link
-        per start frame. Just as important: ONE dispatch per start frame.
-        The previous per-batch dispatch loop + eager slice/zeros/concat
-        assembly had per-START-frame shapes, and the TPU-relay probe
-        (scripts/perf_traj_probe.py) measured it at ~2.5-3.5 s of fixed
-        overhead per call vs ~0.8 s/chunk of actual decode — per-shape eager
-        compiles and extra round trips that summed to ~minutes per video.
-        ``n_batches`` takes ceil((t-1-start)/pair_batch) distinct values
-        (≤4 at T=50), so at most that many compiled variants exist; the
-        ``start`` scalar itself is traced, not baked in."""
+        per start frame. Rows ≥ t-1-start come back zero; callers may fuse
+        further stages (chaining) behind this in the same jit so a whole
+        start frame is ONE dispatch."""
         mesh = self.mesh
         n_dev = mesh.devices.size if mesh is not None else 1
         bsz = max(self.pair_batch, n_dev)
         bsz -= bsz % n_dev
         tm1 = self.t - 1
+        n_batches_max = max(1, -(-tm1 // bsz))
         l, r, tp, bp = self.padder._pad
         h, w = self.h, self.w
+        num_iters = self.num_iters
 
         def unpad(x):
             hp, wp = x.shape[-2:]
             return x[..., tp:hp - bp, l:wp - r]
 
         def fn(params, fmaps, nets, inps, start, thresh):
-            total = n_batches * bsz
+            total = n_batches_max * bsz
             ks = jnp.arange(total, dtype=jnp.int32)
-            tgt = jnp.clip(start + 1 + ks, 0, tm1)  # junk rows masked below
-            src = jnp.full((total,), start, jnp.int32)
 
             def dec(i1, i2):
                 f1 = constrain_batch(jnp.take(fmaps, i1, axis=0), mesh)
@@ -181,38 +181,40 @@ class RaftFlowEngine:
                 inp = constrain_batch(jnp.take(inps, i1, axis=0), mesh)
                 return constrain_batch(
                     raft.raft_decode(params, f1, f2, net, inp,
-                                     num_iters=self.num_iters), mesh)
+                                     num_iters=num_iters), mesh)
 
-            def chunk(i):
-                ia = jax.lax.dynamic_slice_in_dim(src, i * bsz, bsz)
-                ib = jax.lax.dynamic_slice_in_dim(tgt, i * bsz, bsz)
+            def body(i, bufs):
+                dflows_b, masks_b = bufs
+                ia = jnp.broadcast_to(start, (bsz,)).astype(jnp.int32)
+                ib = jnp.clip(
+                    start + 1 + i * bsz + jnp.arange(bsz, dtype=jnp.int32),
+                    0, tm1)  # junk rows masked below
                 fwd = unpad(dec(ia, ib))  # bsz×2×h×w (source-frame grid)
                 bwd = unpad(dec(ib, ia))
                 # one implementation of the cycle-consistency mask shared
                 # with the host oracle used by tests / alternate engines
                 mask = _cycle_masks_batched(fwd, bwd, thresh).astype(
                     jnp.float32)
-                return jnp.transpose(fwd, (0, 2, 3, 1)), mask  # n×h×w×2
+                dflows_b = jax.lax.dynamic_update_slice(
+                    dflows_b, jnp.transpose(fwd, (0, 2, 3, 1)),
+                    (i * bsz, 0, 0, 0))
+                masks_b = jax.lax.dynamic_update_slice(
+                    masks_b, mask, (i * bsz, 0, 0))
+                return (dflows_b, masks_b)
 
-            dflows, masks = jax.lax.map(
-                chunk, jnp.arange(n_batches, dtype=jnp.int32))
-            dflows = dflows.reshape(total, h, w, 2)
-            masks = masks.reshape(total, h, w)
+            nb = (tm1 - start + bsz - 1) // bsz
+            bufs = (jnp.zeros((total, h, w, 2), jnp.float32),
+                    jnp.zeros((total, h, w), jnp.float32))
+            dflows, masks = jax.lax.fori_loop(0, nb, body, bufs)
             valid = (start + 1 + ks) <= tm1
             dflows = jnp.where(valid[:, None, None, None], dflows, 0.0)
             masks = jnp.where(valid[:, None, None], masks, 0.0)
-            if total >= tm1:
-                dflows, masks = dflows[:tm1], masks[:tm1]
-            else:
-                pad = tm1 - total
-                dflows = jnp.concatenate(
-                    [dflows, jnp.zeros((pad, h, w, 2), jnp.float32)])
-                masks = jnp.concatenate(
-                    [masks, jnp.zeros((pad, h, w), jnp.float32)])
-            return (constrain_batch(dflows, mesh),
-                    constrain_batch(masks, mesh))
+            # total = ceil(tm1/bsz)*bsz >= tm1, so a static slice suffices
+            return (constrain_batch(dflows[:tm1], mesh),
+                    constrain_batch(masks[:tm1], mesh))
 
-        return jax.jit(fn)
+        fmaps, nets, inps = self._encodings()
+        return fn, (self.params, fmaps, nets, inps)
 
     def direct_flows(self, start: int, threshold: float
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -220,21 +222,16 @@ class RaftFlowEngine:
         (reference :99-160). Returns DEVICE arrays padded to the full frame
         count — ((t-1)×h×w×2 flows, (t-1)×h×w masks); rows ≥ t-1-start are
         zero. Downstream chaining consumes these on device directly. One
-        dispatch per call (see _direct_sweep_fn)."""
-        fmaps, nets, inps = self._encodings()
-        n = self.t - 1 - start
-        n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        bsz = max(self.pair_batch, n_dev)
-        bsz -= bsz % n_dev
-        n_batches = max(1, -(-n // bsz))
-        fn = self._sweep_jits.get(n_batches)
-        if fn is None:
-            fn = self._sweep_jits[n_batches] = self._direct_sweep_fn(n_batches)
+        dispatch per call, one compiled program across ALL starts (see
+        direct_sweep_traceable)."""
+        if self._sweep_jit is None:
+            fn, operands = self.direct_sweep_traceable()
+            self._sweep_jit = (jax.jit(fn), operands)
+        fn, operands = self._sweep_jit
 
         def run():
-            args = (self.params, fmaps, nets, inps,
-                    jnp.asarray(start, jnp.int32),
-                    jnp.asarray(threshold, jnp.float32))
+            args = operands + (jnp.asarray(start, jnp.int32),
+                               jnp.asarray(threshold, jnp.float32))
             if self.mesh is not None:
                 with self.mesh:
                     return fn(*args)
@@ -265,7 +262,7 @@ def compute_direct_flow_masks(fwd_n2hw: np.ndarray, bwd_n2hw: np.ndarray,
                               threshold: float) -> Tuple[np.ndarray, np.ndarray]:
     """Host-array convenience wrapper around ``_cycle_masks_batched``
     (tests / alternate flow engines; the production sweep fuses this into
-    ``RaftFlowEngine._direct_sweep_fn`` and never leaves the device)."""
+    ``RaftFlowEngine.direct_sweep_traceable`` and never leaves the device)."""
     masks = np.asarray(_cycle_masks_batched(
         jnp.asarray(fwd_n2hw), jnp.asarray(bwd_n2hw),
         jnp.asarray(threshold, jnp.float32)))

@@ -98,6 +98,34 @@ class PreprocessingPipeline:
         logger.info("saved %s: %s", out_path, trajs.shape)
         return trajs
 
+    def extract_trajectories_both(self):
+        """Stage 1 AND the BB stage's unfiltered extraction in ONE fused
+        sweep. The reference runs the whole chaining script twice
+        (main_preprocessing.py:28, main_dino_bb_preprocessing.py:34-39)
+        re-deriving every adjacent-flow warp; the two passes share all
+        inputs and differ only in the direct-flow alive mask, so each start
+        frame here is one device dispatch emitting both artifacts
+        (E2E_r03: the second pass alone cost 121 s/video)."""
+        eng = self.flow_engine
+        logger.info("adjacent RAFT flows (%d pairs)", eng.t - 1)
+        fwd, bwd = eng.adjacent_flows(progress=self.progress)
+        decode = direct_fn = None
+        if hasattr(eng, "direct_sweep_traceable"):
+            decode = eng.direct_sweep_traceable()
+        else:
+            direct_fn = lambda s: eng.direct_flows(s, self.cfg.threshold)
+        trajs, unfiltered = traj_lib.extract_trajectories_dual(
+            fwd, bwd, threshold=self.cfg.threshold,
+            min_trajectory_length=self.cfg.min_trajectory_length,
+            direct_flow_threshold=self.cfg.direct_flow_threshold,
+            decode=decode, direct_flow_fn=direct_fn, mesh=self.mesh,
+            progress=self.progress)
+        video_io.save_npz(self.paths["trajectories_file"],
+                          trajectories=trajs)
+        logger.info("saved %s: %s", self.paths["trajectories_file"],
+                    trajs.shape)
+        return trajs, unfiltered
+
     def extract_dino_features(self, layer, out_path,
                               facet: str = None, stride: int = None):
         """One ViT sweep for one layer (or several layers in a single pass
@@ -197,11 +225,18 @@ class PreprocessingPipeline:
     # -- full run ---------------------------------------------------------
     def run(self):
         from ..utils.profiling import dump_stage_report
-        # 1. trajectories with direct-flow filter (training supervision)
+        # 1. trajectories with direct-flow filter (training supervision),
+        # fused with the BB stage's unfiltered pass (saved in stage 5)
+        unfiltered = None
         with stage_timer("preprocess/trajectories"):
-            trajs = self.extract_trajectories(
-                self.cfg.filter_using_direct_flow,
-                self.paths["trajectories_file"])
+            if self.cfg.filter_using_direct_flow:
+                trajs, unfiltered = self.extract_trajectories_both()
+            else:
+                # without the direct filter both passes are the same
+                # computation — extract once, reuse for both artifacts
+                trajs = self.extract_trajectories(
+                    False, self.paths["trajectories_file"])
+                unfiltered = trajs
         # 2 + 3. DINO features (+ FG masks from layer-23 features when no GT
         # masks exist — main_preprocessing.py:38-51). When the mask facet/
         # stride match the training facet/stride, both layers come from ONE
@@ -240,10 +275,14 @@ class PreprocessingPipeline:
         # 4. fg/bg split
         with stage_timer("preprocess/split_fg_bg"):
             self.split_trajectories(trajs)
-        # 5. best buddies (uses trajectories WITHOUT the direct-flow filter)
+        # 5. best buddies (uses trajectories WITHOUT the direct-flow filter
+        # — already chained in stage 1's fused dual sweep; just persist)
         with stage_timer("preprocess/unfiltered_trajectories"):
-            unfiltered = self.extract_trajectories(
-                False, self.paths["unfiltered_trajectories_file"])
+            video_io.save_npz(self.paths["unfiltered_trajectories_file"],
+                              trajectories=unfiltered)
+            logger.info("saved %s: %s",
+                        self.paths["unfiltered_trajectories_file"],
+                        unfiltered.shape)
         with stage_timer("preprocess/best_buddies"):
             self.compute_best_buddies(feats, unfiltered)
         self.join_saves()

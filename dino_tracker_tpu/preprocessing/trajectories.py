@@ -131,6 +131,106 @@ def _chain_from_start(flows_fwd, flows_bwd, start_mask, start_frame,
     return timeline
 
 
+def _chain_dual(flows_fwd, flows_bwd, start_frame, dflows, dflow_masks,
+                threshold: float, direct_threshold: float):
+    """BOTH trajectory passes (with / without the direct-flow filter) in one
+    sweep. The reference runs the whole chaining script twice
+    (main_dino_bb_preprocessing.py:34-39); the two passes share every flow
+    warp — pixel coordinates advance identically regardless of aliveness, so
+    one coords carry serves both and only the alive masks differ.
+
+    EVERY pixel spawns here (no start mask): aliveness is monotone and
+    per-pixel independent of spawn gating, so the host applies eligibility +
+    look-behind occupancy when selecting kept columns — exactly equivalent
+    to masking at spawn, and it decouples the device program from the
+    sequential host-side occupancy state (starts can be dispatched ahead).
+
+    Also unlike ``_chain_from_start`` (the single-pass oracle kept for tests
+    and alternate engines), the time loop is a ``fori_loop`` starting AT
+    ``start_frame`` writing timeline rows in place — the full-range scan
+    spent ~half its steps on pre-start identity work on average
+    (measured 1.0-1.6 s/start at DAVIS scale, scripts/perf_traj_probe.py).
+
+    Returns (timeline_filtered, timeline_unfiltered), each t×h×w×2 float32
+    with NaNs for dead/never-born entries.
+    """
+    tm1, _, h, w = flows_fwd.shape
+    t = tm1 + 1
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    grid = jnp.stack([xs, ys], axis=-1)  # h×w×2
+    upper = jnp.asarray([w - 1.0, h - 1.0])
+
+    def body(idx, carry):
+        coords, alive_f, alive_u, tl_f, tl_u = carry
+        fwd = flows_fwd[idx]
+        bwd = flows_bwd[idx]
+        warped_fwd = jnp.transpose(
+            bilinear_sampler_pixel(fwd[None], coords[None])[0], (1, 2, 0))
+        coords1 = coords + warped_fwd
+        warped_bwd = jnp.transpose(
+            bilinear_sampler_pixel(bwd[None], coords1[None])[0], (1, 2, 0))
+        coords2 = coords1 + warped_bwd
+        err = jnp.linalg.norm(coords - coords2, axis=-1)
+        in_bounds = jnp.all((coords1 >= 0.0) & (coords1 <= upper), axis=-1)
+        ok = (err < threshold) & in_bounds
+        alive_u = alive_u & ok
+        # direct-flow row for target frame idx+1 is dflows[idx - start]
+        drow = jnp.clip(idx - start_frame, 0, tm1 - 1)
+        err_d = jnp.linalg.norm(coords1 - (grid + dflows[drow]), axis=-1)
+        err_d = err_d * (dflow_masks[drow] > 0.2)
+        alive_f = alive_f & ok & (err_d < direct_threshold)
+        out_f = jnp.where(alive_f[..., None], coords1, jnp.nan)
+        out_u = jnp.where(alive_u[..., None], coords1, jnp.nan)
+        tl_f = jax.lax.dynamic_update_slice(tl_f, out_f[None],
+                                            (idx + 1, 0, 0, 0))
+        tl_u = jax.lax.dynamic_update_slice(tl_u, out_u[None],
+                                            (idx + 1, 0, 0, 0))
+        return (coords1, alive_f, alive_u, tl_f, tl_u)
+
+    nan_tl = jnp.full((t, h, w, 2), jnp.nan, jnp.float32)
+    tl0 = jax.lax.dynamic_update_slice(nan_tl, grid[None],
+                                       (start_frame, 0, 0, 0))
+    alive0 = jnp.ones((h, w), bool)
+    carry = (grid, alive0, alive0, tl0, tl0)
+    carry = jax.lax.fori_loop(start_frame, tm1, body, carry)
+    return carry[3], carry[4]
+
+
+def _make_fused_start_program(decode_fn, threshold: float,
+                              direct_threshold: float, min_len: int):
+    """ONE jitted program per start frame: direct-flow decode (the engine's
+    traceable sweep) + dual chaining + keep-candidate masks. A whole start
+    frame is a single dispatch — the split pipeline paid ~1 s of relay
+    round-trip latency per chain dispatch on top of the decode dispatch
+    (scripts/perf_traj_probe.py: chain was a flat 1.05 s/start while its
+    device compute is a fraction of that)."""
+
+    @jax.jit
+    def mega(operands, flows_fwd, flows_bwd, start, thresh):
+        dflows, dmasks = decode_fn(*operands, start, thresh)
+        tl_f, tl_u = _chain_dual(flows_fwd, flows_bwd, start, dflows, dmasks,
+                                 threshold=threshold,
+                                 direct_threshold=direct_threshold)
+        return tl_f, tl_u, _keep_mask(tl_f, min_len), _keep_mask(tl_u, min_len)
+
+    return mega
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "direct_threshold",
+                                             "min_len"))
+def _dual_start_program(flows_fwd, flows_bwd, start, dflows, dmasks,
+                        threshold: float, direct_threshold: float,
+                        min_len: int):
+    """Fallback fused start program for engines without a traceable decode
+    (test doubles, precomputed-flow engines): chaining + keep masks in one
+    dispatch, direct flows supplied as arrays."""
+    tl_f, tl_u = _chain_dual(flows_fwd, flows_bwd, start, dflows, dmasks,
+                             threshold=threshold,
+                             direct_threshold=direct_threshold)
+    return tl_f, tl_u, _keep_mask(tl_f, min_len), _keep_mask(tl_u, min_len)
+
+
 @functools.partial(jax.jit, static_argnames=("min_len",))
 def _keep_mask(timeline_thw2, min_len: int):
     """h·w bool: pixels whose trajectory survives ≥ min_len frames."""
@@ -243,3 +343,128 @@ def extract_trajectories(flows_fwd: np.ndarray, flows_bwd: np.ndarray,
     if not collected:
         return np.full((0, t, 2), np.nan, np.float32)
     return np.concatenate(collected, axis=0)
+
+
+def extract_trajectories_dual(
+        flows_fwd: np.ndarray, flows_bwd: np.ndarray, *,
+        threshold: float = 1.5, min_trajectory_length: int = 2,
+        direct_flow_threshold: float = 2.5,
+        decode=None,
+        direct_flow_fn: Optional[Callable[[int], Tuple[np.ndarray, np.ndarray]]] = None,
+        look_behind: bool = True,
+        mesh=None,
+        progress: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """BOTH extraction passes (with and without the direct-flow filter) in
+    one sweep over start frames -> (filtered N×t×2, unfiltered M×t×2).
+
+    The reference runs the whole chaining script twice — once per pass
+    (main_preprocessing.py:28 and main_dino_bb_preprocessing.py:34-39) —
+    re-deriving every adjacent-flow warp. Here each start frame is ONE
+    device dispatch producing both timelines + both keep masks; only the
+    kept columns are fetched. Per-pass look-behind occupancy (each pass
+    dedupes against its own earlier trajectories, exactly as the
+    reference's two independent script runs do) and spawn eligibility are
+    applied host-side at column selection — exact, because per-pixel
+    aliveness is monotone and independent of spawn gating.
+
+    ``decode``: (fn, operands) from ``RaftFlowEngine.direct_sweep_traceable``
+    — fuses the direct-flow decode into the same program. Fallback
+    ``direct_flow_fn(start)`` serves engines without a traceable decode
+    (test doubles, precomputed flows).
+    """
+    flows_fwd = jnp.asarray(flows_fwd)
+    flows_bwd = jnp.asarray(flows_bwd)
+    tm1, _, h, w = flows_fwd.shape
+    t = tm1 + 1
+    min_len = min_trajectory_length
+
+    masks = np.asarray(compute_flow_masks(flows_fwd, flows_bwd, threshold))
+
+    if decode is not None:
+        decode_fn, operands = decode
+        mega = _make_fused_start_program(
+            decode_fn, threshold=threshold,
+            direct_threshold=direct_flow_threshold, min_len=min_len)
+        thresh_dev = jnp.asarray(threshold, jnp.float32)
+
+        def dispatch(start):
+            return mega(operands, flows_fwd, flows_bwd,
+                        jnp.asarray(start, jnp.int32), thresh_dev)
+    else:
+        assert direct_flow_fn is not None
+
+        def padded_direct(start):
+            dflows_in, dmasks_in = direct_flow_fn(start)
+            n = dflows_in.shape[0]
+            if n == tm1:
+                return jnp.asarray(dflows_in), jnp.asarray(dmasks_in)
+            dflows = jnp.zeros((tm1, h, w, 2), jnp.float32
+                               ).at[:n].set(jnp.asarray(dflows_in))
+            dmasks = jnp.zeros((tm1, h, w), jnp.float32
+                               ).at[:n].set(jnp.asarray(dmasks_in))
+            return dflows, dmasks
+
+        def dispatch(start):
+            dflows, dmasks = padded_direct(start)
+            return _dual_start_program(
+                flows_fwd, flows_bwd, jnp.asarray(start, jnp.int32),
+                dflows, dmasks, threshold=threshold,
+                direct_threshold=direct_flow_threshold, min_len=min_len)
+
+    occupied = {"f": np.zeros((t, h, w), bool),
+                "u": np.zeros((t, h, w), bool)}
+    collected = {"f": [], "u": []}
+    starts = list(range(t - (min_len - 1)))
+    iterator = starts
+    if progress:
+        from tqdm import tqdm
+        iterator = tqdm(starts, desc="chaining trajectories (dual)")
+
+    def harvest(key, timeline, keep_dev, start):
+        elig = ~masks[start]
+        if look_behind:
+            elig = elig | ~occupied[key][start]
+        ki = np.flatnonzero(np.asarray(keep_dev).ravel() & elig.ravel())
+        if not ki.size:
+            return
+        cap = max(1024, 1 << int(np.ceil(np.log2(ki.size))))
+        idx = np.zeros(min(cap, h * w), np.int32)
+        idx[: ki.size] = ki
+        trajs = np.asarray(_gather_columns(timeline, jnp.asarray(idx)))
+        trajs = trajs[:, : ki.size, :]  # t×K×2
+        collected[key].append(
+            np.transpose(trajs, (1, 0, 2)).astype(np.float32))
+        if look_behind:
+            from ..utils.native_traj import occupancy_update
+            if not occupancy_update(trajs, occupied[key], start):
+                kept_valid = ~np.isnan(trajs).any(axis=-1)  # t×K
+                coords = np.round(np.nan_to_num(trajs)).astype(np.int64)
+                xi = np.clip(coords[..., 0], 0, w - 1)
+                yi = np.clip(coords[..., 1], 0, h - 1)
+                for f in range(start, t):
+                    sel = kept_valid[f]
+                    occupied[key][f, yi[f, sel], xi[f, sel]] = True
+
+    if mesh is not None:
+        inner = dispatch
+
+        def dispatch(start):
+            with mesh:
+                return inner(start)
+
+    # double buffer: next start's whole-program dispatch is enqueued (JAX
+    # dispatch is async) before this start's host-blocking fetch/assembly
+    pending = dispatch(starts[0]) if starts else None
+    for i, start in enumerate(iterator):
+        tl_f, tl_u, keep_f, keep_u = pending
+        if i + 1 < len(starts):
+            pending = dispatch(starts[i + 1])
+        harvest("f", tl_f, keep_f, start)
+        harvest("u", tl_u, keep_u, start)
+
+    def assemble(key):
+        if not collected[key]:
+            return np.full((0, t, 2), np.nan, np.float32)
+        return np.concatenate(collected[key], axis=0)
+
+    return assemble("f"), assemble("u")

@@ -287,6 +287,33 @@ def test_direct_flows_fused_matches_legacy_path():
     assert not np.asarray(dflows)[n:].any()
 
 
+def test_dual_extraction_with_traceable_decode_matches_fallback():
+    """The fully-fused per-start program (direct decode + dual chaining in
+    ONE jitted dispatch, via direct_sweep_traceable) must produce the same
+    trajectories as the array-based fallback fed by eng.direct_flows."""
+    from dino_tracker_tpu.preprocessing import trajectories as traj_lib
+    from dino_tracker_tpu.preprocessing.flow import RaftFlowEngine
+
+    params = raft.init_raft(jax.random.PRNGKey(6))
+    t, h, w = 5, 30, 41
+    video = RNG.random((t, 3, h, w)).astype(np.float32)
+    eng = RaftFlowEngine(params, video, num_iters=2, pair_batch=2)
+    fwd, bwd = eng.adjacent_flows()
+    thr = 1.0
+
+    got_f, got_u = traj_lib.extract_trajectories_dual(
+        fwd, bwd, threshold=thr, direct_flow_threshold=2.5,
+        min_trajectory_length=2, decode=eng.direct_sweep_traceable())
+    want_f, want_u = traj_lib.extract_trajectories_dual(
+        fwd, bwd, threshold=thr, direct_flow_threshold=2.5,
+        min_trajectory_length=2,
+        direct_flow_fn=lambda s: eng.direct_flows(s, thr))
+
+    assert got_f.shape == want_f.shape and got_u.shape == want_u.shape
+    np.testing.assert_allclose(got_f, want_f, atol=1e-5)
+    np.testing.assert_array_equal(got_u, want_u)
+
+
 def test_lane_padded_update_block_exact():
     """The lane-aligned motion encoder / flow head / mask head (channels
     zero-padded to 128 multiples, convf1 as extracted patches) must be

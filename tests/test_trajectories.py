@@ -91,3 +91,52 @@ def test_direct_flow_filter_kills_inconsistent():
     ys = start0[:, 0, 1]
     # top-half trajectories die after frame 0 -> dropped by min length
     assert (ys >= h // 2 - 1).all()
+
+
+def _noisy_flows(t, h, w, seed=3):
+    """Translation flows with localized cycle breakage so the two passes
+    (filtered / unfiltered) genuinely diverge and look-behind matters."""
+    rng = np.random.default_rng(seed)
+    fwd, bwd = constant_flow(t, h, w, 1.0, 0.0)
+    # break the cycle check for a random pixel blob at each transition
+    for k in range(t - 1):
+        y0 = rng.integers(0, h - 3)
+        x0 = rng.integers(0, w - 3)
+        bwd[k, :, y0:y0 + 3, x0:x0 + 3] += 10.0
+    return fwd, bwd
+
+
+def _disagreeing_direct_fn(t, h, w):
+    def direct_fn(start):
+        n = t - 1 - start
+        dflows = np.zeros((n, h, w, 2), np.float32)
+        for k in range(n):
+            dflows[k, :, :, 0] = 1.0 * (k + 1)
+        dmasks = np.ones((n, h, w), np.float32)
+        dflows[:, : h // 2, :, 0] += 50.0  # direct filter kills top half
+        return dflows, dmasks
+    return direct_fn
+
+
+def test_dual_extraction_matches_two_single_passes():
+    """extract_trajectories_dual == the two independent reference-style
+    script runs (with / without the direct filter), element-for-element."""
+    t, h, w = 6, 12, 14
+    fwd, bwd = _noisy_flows(t, h, w)
+    direct_fn = _disagreeing_direct_fn(t, h, w)
+
+    want_f = traj_lib.extract_trajectories(
+        fwd, bwd, threshold=1.0, direct_flow_fn=direct_fn,
+        direct_flow_threshold=2.5, min_trajectory_length=2)
+    want_u = traj_lib.extract_trajectories(
+        fwd, bwd, threshold=1.0, min_trajectory_length=2)
+    got_f, got_u = traj_lib.extract_trajectories_dual(
+        fwd, bwd, threshold=1.0, direct_flow_fn=direct_fn,
+        direct_flow_threshold=2.5, min_trajectory_length=2)
+
+    assert got_f.shape == want_f.shape
+    assert got_u.shape == want_u.shape
+    np.testing.assert_array_equal(got_f, want_f)
+    np.testing.assert_array_equal(got_u, want_u)
+    # the two passes genuinely diverge in this setup
+    assert want_f.shape[0] != want_u.shape[0]
