@@ -62,7 +62,8 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
     tgt_off = jax.random.randint(k_tgt, (n_pairs,), 1, set_size)
     tgt_sel = (src_sel + tgt_off) % set_size
 
-    def pair_loss(k, src_idx, tgt_idx):
+    def pair_select(k, src_idx, tgt_idx):
+        """Per-pair point selection + loss weights — no gradient paths."""
         sf = frames_set_t[src_idx]
         tf = frames_set_t[tgt_idx]
         src_xy = bb.source_coords[sf, tf]      # Nmax×2
@@ -79,20 +80,33 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
         sel = jnp.concatenate([idx_fg, idx_bg])
         sel_valid = jnp.concatenate([v_fg, v_bg])
 
-        src_f = _sample_embeddings_at(frame_embeddings, src_xy[sel],
-                                      jnp.full((sel.shape[0],), src_idx), cfg)
-        tgt_f = _sample_embeddings_at(frame_embeddings, tgt_xy[sel],
-                                      jnp.full((sel.shape[0],), tgt_idx), cfg)
-        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
-            src_f, tgt_f, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
-            view.norms[src_idx], view.norms[tgt_idx], temp)
         ws = jax.nn.sigmoid(sig_a * (1.0 - r[sel]) + sig_b)
         cos_ws = jnp.clip(2.0 * cos[sel] ** 3, min=0.0)
         wmask = ws * cos_ws * sel_valid
-        return jnp.sum((cl1 + cl2) * wmask)
+        return src_xy[sel], tgt_xy[sel], wmask
 
     pair_keys = jax.random.split(k_sel, n_pairs)
-    per_pair = jax.vmap(pair_loss)(pair_keys, src_sel, tgt_sel)
+    sxy, txy, wmask = jax.vmap(pair_select)(pair_keys, src_sel, tgt_sel)
+    kk = sxy.shape[1]
+
+    # ONE with-grad trilinear sampling for all pairs/sides: vmapping the
+    # sampling per pair made its backward a per-pair full-plane scatter-add
+    # into the 265 MB refined stack (trace: ~10 ms/iter at this line);
+    # batching all P·k points turns that into one scatter
+    src_f = _sample_embeddings_at(
+        frame_embeddings, sxy.reshape(-1, 2),
+        jnp.repeat(src_sel, kk), cfg).reshape(n_pairs, kk, -1)
+    tgt_f = _sample_embeddings_at(
+        frame_embeddings, txy.reshape(-1, 2),
+        jnp.repeat(tgt_sel, kk), cfg).reshape(n_pairs, kk, -1)
+
+    def pair_loss(src_f_k, tgt_f_k, src_idx, tgt_idx, wmask_k):
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+            src_f_k, tgt_f_k, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
+            view.norms[src_idx], view.norms[tgt_idx], temp)
+        return jnp.sum((cl1 + cl2) * wmask_k)
+
+    per_pair = jax.vmap(pair_loss)(src_f, tgt_f, src_sel, tgt_sel, wmask)
     # reference: (Σcl1·w + Σcl2·w)/cl_div averaged over the two directions
     return jnp.sum(per_pair) / cl_div / 2.0
 
@@ -133,7 +147,9 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
     unit_sg = flat_sg / jnp.clip(norms_sg[:, None, :], min=EPS).astype(
         flat_sg.dtype)
 
-    def pair_loss(k, src_idx, tgt_idx):
+    def pair_mine(k, src_idx, tgt_idx):
+        """Per-pair buddy mining + subset selection — no gradient paths
+        (the affinity runs on the stop-gradient unit slabs)."""
         # n×n cosine affinity on the (no-grad) unit compute-dtype slabs
         aff = jnp.einsum("cn,cm->nm", unit_sg[src_idx], unit_sg[tgt_idx],
                          preferred_element_type=jnp.float32)
@@ -148,25 +164,44 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
         sel_src = jnp.concatenate([idx_fg, idx_bg])
         sel_valid = jnp.concatenate([v_fg, v_bg])
         sel_tgt = tgt_of_src[sel_src]
+        return sel_src, sel_tgt, sel_valid
 
-        # the selected buddy features keep gradients (f32 gather columns)
-        src_f = flat[src_idx][:, sel_src].T  # k×c
-        tgt_f = flat[tgt_idx][:, sel_tgt].T
+    pair_keys = jax.random.split(k_sel, n_pairs)
+    sel_src, sel_tgt, sel_valid = jax.vmap(pair_mine)(pair_keys, src_sel,
+                                                      tgt_sel)  # each P×k
+
+    # ONE with-grad gather for all pairs/sides. The previous per-pair
+    # `flat[src_idx][:, sel_src].T` made the backward materialize a full
+    # f32 c×n gradient plane per pair and dynamic-update-slice it into the
+    # 265 MB (s,c,n) stack — 18.3 ms/iter, the single largest non-conv
+    # line in the r4 device trace. Gathering all P·k columns from one
+    # (s·n, c) view costs two 265 MB layout passes + one sparse row
+    # scatter-add in the backward.
+    flat_snc = jnp.moveaxis(flat, 1, 2).reshape(s * n, c)
+    kk = sel_src.shape[1]
+    src_f = jnp.take(flat_snc, (src_sel[:, None] * n + sel_src).reshape(-1),
+                     axis=0).reshape(n_pairs, kk, c)
+    tgt_f = jnp.take(flat_snc, (tgt_sel[:, None] * n + sel_tgt).reshape(-1),
+                     axis=0).reshape(n_pairs, kk, c)
+
+    def pair_loss(src_f_k, tgt_f_k, src_idx, tgt_idx, sel_src_k, sel_tgt_k,
+                  sel_valid_k):
         cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
-            src_f, tgt_f, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
+            src_f_k, tgt_f_k, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
             view.norms[src_idx], view.norms[tgt_idx], temp)
         # selected-pair cosines with the reference's exact EPS-clamped
         # formula, recomputed in f32 from the raw columns (k×c dots — the
         # full bf16 affinity is only ever used for the argmax set)
         sel_cos = jnp.einsum("kc,kc->k",
-                             jax.lax.stop_gradient(src_f),
-                             jax.lax.stop_gradient(tgt_f),
+                             jax.lax.stop_gradient(src_f_k),
+                             jax.lax.stop_gradient(tgt_f_k),
                              preferred_element_type=jnp.float32)
         sel_cos = sel_cos / jnp.clip(
-            norms_sg[src_idx][sel_src] * norms_sg[tgt_idx][sel_tgt], min=EPS)
+            norms_sg[src_idx][sel_src_k] * norms_sg[tgt_idx][sel_tgt_k],
+            min=EPS)
         w_cos = jnp.clip(2.0 * sel_cos ** 3, min=0.0)
-        return jnp.sum((cl1 + cl2) * w_cos * sel_valid)
+        return jnp.sum((cl1 + cl2) * w_cos * sel_valid_k)
 
-    pair_keys = jax.random.split(k_sel, n_pairs)
-    per_pair = jax.vmap(pair_loss)(pair_keys, src_sel, tgt_sel)
+    per_pair = jax.vmap(pair_loss)(src_f, tgt_f, src_sel, tgt_sel,
+                                   sel_src, sel_tgt, sel_valid)
     return jnp.sum(per_pair) / (2.0 * cl_div)
