@@ -27,5 +27,5 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "slow: >20s tests (train-step/e2e/golden-layout); the fast "
-        "pre-commit path is `pytest -m 'not slow'` (<5 min), CI runs all")
+        "slow: >9s tests (train-step/e2e/golden-layout/mesh-equality); the "
+        "fast pre-commit path is `pytest -m 'not slow'` (<5 min), CI runs all")

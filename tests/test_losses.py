@@ -1,5 +1,6 @@
 """Loss-math parity tests vs torch mirrors of the reference formulas."""
 
+import pytest
 import numpy as np
 import torch
 import jax
@@ -88,6 +89,7 @@ def test_fg_lookup_matches_reference_grid_sample():
     np.testing.assert_array_equal(np.asarray(ours), ref.numpy())
 
 
+@pytest.mark.slow
 def test_masked_gumbel_topk_uniformity_and_validity():
     n, k = 50, 8
     mask = np.zeros(n, bool)
@@ -139,6 +141,7 @@ def test_mutual_nn_brute_force():
             assert int(tgt[i]) == j
 
 
+@pytest.mark.slow
 def test_cycle_loss_merged_call_equals_split():
     """cycle_consistency_loss runs st+ts as ONE merged prediction batch;
     every op in the prediction path is per-point, so it must equal the
@@ -200,6 +203,7 @@ def test_cycle_loss_merged_call_equals_split():
     np.testing.assert_array_equal(np.asarray(merged), np.asarray(merged_v))
 
 
+@pytest.mark.slow
 def test_contrastive_vmap_pairs_match_per_pair_loop():
     """The pair axis of both contrastive losses is vmapped (was lax.map);
     per-pair math must match a hand python loop over the same split keys."""

@@ -94,6 +94,7 @@ def copy_delta_dino_params_to_torch(params, tmodel):
 
 
 @pytest.mark.parametrize("train", [True, False])
+@pytest.mark.slow
 def test_delta_dino_parity(train):
     cfg = TrackerConfig(video_h=70, video_w=98)
     key = jax.random.PRNGKey(0)

@@ -126,6 +126,7 @@ def test_parity_gates_pass_on_standins(harness_env, capsys):
     assert stages["flow_parity"]["mean_epe"] <= 0.5
 
 
+@pytest.mark.slow
 def test_parity_gate_fails_on_mismatched_features(harness_env, capsys):
     root = harness_env
     with np.load(root / "torch_features.npz") as f:

@@ -1,5 +1,6 @@
 """RAFT component parity tests (torch mirrors) + end-to-end smoke."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -160,6 +161,7 @@ def test_flow_engine_encode_once_matches_per_pair_forward():
                                    err_msg=f"pair {a}->{b}")
 
 
+@pytest.mark.slow
 def test_flow_engine_mesh_matches_single_device():
     """Pair-axis sharding over an 8-device CPU mesh must not change flows."""
     from dino_tracker_tpu.parallel.mesh import make_mesh
@@ -231,6 +233,7 @@ def test_raft_converter_roundtrip():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_raft_bf16_compute_close_to_f32():
     """The opt-in bf16 path (convs/GRU in bf16, corr volume + coordinate
     accumulation in f32) must stay within a fraction of a pixel of the f32
@@ -249,6 +252,7 @@ def test_raft_bf16_compute_close_to_f32():
     assert float(err.mean()) < 0.15, float(err.mean())
 
 
+@pytest.mark.slow
 def test_flow_engine_bf16_plumbing():
     from dino_tracker_tpu.preprocessing.flow import RaftFlowEngine
 
@@ -287,6 +291,7 @@ def test_direct_flows_fused_matches_legacy_path():
     assert not np.asarray(dflows)[n:].any()
 
 
+@pytest.mark.slow
 def test_dual_extraction_with_traceable_decode_matches_fallback():
     """The fully-fused per-start program (direct decode + dual chaining in
     ONE jitted dispatch, via direct_sweep_traceable) must produce the same

@@ -1,5 +1,6 @@
 """Trajectory chaining tests with synthetic (exact) flows."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -118,6 +119,7 @@ def _disagreeing_direct_fn(t, h, w):
     return direct_fn
 
 
+@pytest.mark.slow
 def test_dual_extraction_matches_two_single_passes():
     """extract_trajectories_dual == the two independent reference-style
     script runs (with / without the direct filter), element-for-element."""
