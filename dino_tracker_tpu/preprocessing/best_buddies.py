@@ -329,16 +329,36 @@ def of_filter_best_buddies(bb: BBData, trajectories_nt2: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _pair_ambiguity(source_feats_cap_c, target_flat_nc, grid_n2,
-                    topk: int, box_size: float, iou_thresh: float):
-    """r for each (padded) buddy of one ordered pair."""
+                    topk: int, box_size: float, iou_thresh: float,
+                    cap_chunk: int = 1024):
+    """r for each (padded) buddy of one ordered pair.
+
+    The cap×n affinity is never materialized whole: with the adaptive
+    keep-all capacity, DAVIS-scale videos reach cap≈6k, so a full cap×n f32
+    map is ~190 MB — ×2 directions ×16 vmapped pairs that OOMed a 16 GB
+    chip. ``nms_top2_peaks`` is row-independent (every reduction is along
+    n), so the buddy axis streams through ``lax.map`` in ``cap_chunk``
+    slabs, bounding the live affinity at cap_chunk×n per instance with
+    bitwise-identical results."""
+    cap, c = source_feats_cap_c.shape
     sn = source_feats_cap_c / jnp.clip(
         jnp.linalg.norm(source_feats_cap_c, axis=1, keepdims=True), min=1e-8)
     tn = target_flat_nc / jnp.clip(
         jnp.linalg.norm(target_flat_nc, axis=1, keepdims=True), min=1e-8)
-    sim = jnp.dot(sn, tn.T, preferred_element_type=jnp.float32)  # cap×n
-    peaks, r = nms_top2_peaks(sim, grid_n2, topk=topk, box_size=box_size,
+    if cap <= cap_chunk:
+        sim = jnp.dot(sn, tn.T, preferred_element_type=jnp.float32)  # cap×n
+        return nms_top2_peaks(sim, grid_n2, topk=topk, box_size=box_size,
                               iou_thresh=iou_thresh)
-    return peaks, r
+    pad = (-cap) % cap_chunk
+    snp = jnp.pad(sn, ((0, pad), (0, 0)))
+
+    def slab(sn_k):
+        sim = jnp.dot(sn_k, tn.T, preferred_element_type=jnp.float32)
+        return nms_top2_peaks(sim, grid_n2, topk=topk, box_size=box_size,
+                              iou_thresh=iou_thresh)
+
+    peaks, r = jax.lax.map(slab, snp.reshape(-1, cap_chunk, c))
+    return peaks.reshape(-1, 2)[:cap], r.reshape(-1)[:cap]
 
 
 def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
@@ -357,8 +377,9 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
     half = patch_size // 2
     gw = 1 + (w - patch_size) // stride
     grid = bb_meshgrid(h, w, stride, patch_size)
-    flat = jnp.asarray(features_tchw).reshape(t, c, -1)  # t×c×n
-    flat_nc = flat.transpose(0, 2, 1)  # t×n×c
+    # one expression so the t×c×n intermediate (1.7 GB at DAVIS scale) is
+    # freed as soon as the transpose lands — both would stay live otherwise
+    flat_nc = jnp.asarray(features_tchw).reshape(t, c, -1).transpose(0, 2, 1)
     src = jnp.asarray(bb.source_coords)  # t×t×cap×2
 
     n_dev = mesh.devices.size if mesh is not None else 1

@@ -20,6 +20,11 @@ class BBData(NamedTuple):
 
     All arrays lead with [T, T, Nmax]; entry (s, t, k) is the k-th buddy of
     ordered pair source-frame s → target-frame t.
+
+    Deliberate omission: the reference also appends the two raw NMS peak
+    affinities per buddy (``peak_affs``, compute_dino_bb_nms.py:96-104) into
+    its BB dict, but training consumes only their ratio ``r``
+    (dino_tracker.py:228) — the field is vestigial and is not carried here.
     """
     source_coords: jnp.ndarray  # T×T×Nmax×2 pixel (x, y)
     target_coords: jnp.ndarray  # T×T×Nmax×2

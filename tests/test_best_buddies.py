@@ -339,3 +339,21 @@ def test_extract_best_buddies_adaptive_cap():
                                np.asarray(ref.cos_sims)[:, :, :k])
     # everything past the trim point in the uncapped run was invalid padding
     assert not np.asarray(ref.valid)[:, :, k:].any()
+
+
+def test_pair_ambiguity_cap_chunking_exact():
+    """The cap-axis streaming path (cap > cap_chunk) is bitwise-identical to
+    the single-slab path — nms_top2_peaks is row-independent, so chunking
+    the buddy axis must not change peaks or r (incl. the padded tail)."""
+    n, c, cap = 60, 16, 23
+    grid = np.asarray(bb_meshgrid(70, 70, 7), np.float32)[:n]
+    sf = RNG.standard_normal((cap, c)).astype(np.float32)
+    tf = RNG.standard_normal((n, c)).astype(np.float32)
+    p_ref, r_ref = bb_lib._pair_ambiguity(
+        jnp.asarray(sf), jnp.asarray(tf), jnp.asarray(grid),
+        topk=10, box_size=30.0, iou_thresh=0.2, cap_chunk=cap)
+    p_chk, r_chk = bb_lib._pair_ambiguity(
+        jnp.asarray(sf), jnp.asarray(tf), jnp.asarray(grid),
+        topk=10, box_size=30.0, iou_thresh=0.2, cap_chunk=8)
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_chk))
+    np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_chk))
