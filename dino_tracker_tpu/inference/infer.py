@@ -16,8 +16,9 @@ source point's embedding contracts against the frame set ONCE and its K
 target predictions share that correlation pass — a K-fold FLOP cut over
 carrying one (source, target) pair per row (trajectories K=T, anchor
 re-tracking K=A). The variable-anchor medians become masked medians, and
-anchors gather onto a padded max-visible axis (bucketed to multiples of 8
-so shapes stay static across queries) instead of predicting all T×T pairs —
+anchors gather onto a padded max-visible axis (bucketed to the fixed set
+{8, 16, 32, T} so kernel variants amortize across a whole benchmark, not
+per video) instead of predicting all T×T pairs —
 the reference re-tracks only from visible anchors
 (model_inference.py:160-163). The flat one-pair-per-row path is kept as the
 equality oracle (tests/test_inference.py). ``chunk`` bounds predictions per
@@ -126,17 +127,27 @@ class ModelInference:
 
         self._predict_multi = dispatch_multi
 
-        def sample_feats(refined, points_b3):
-            pts = jnp.asarray(points_b3)
+        def cos_sims_fn(refined, traj_flat, query_frames):
+            """Trajectory-feature sampling + cosine-vs-query-frame in ONE
+            program over a row-padded (N_p·T)×3 batch — the row count is the
+            per-video query-point count, so unpadded eager math here would
+            compile fresh (tiny but relay-priced) programs for every
+            distinct N in a multi-video benchmark."""
             from ..utils import coords as cu
             norm = cu.normalize_points_for_sampling(
-                pts, self.cfg.video_h, self.cfg.video_w,
+                traj_flat, self.cfg.video_h, self.cfg.video_w,
                 self.cfg.dino_patch_size, self.cfg.stride)
-            return tracker.sample_embeddings(refined, norm)
+            feats = tracker.sample_embeddings(refined, norm)
+            n_p = query_frames.shape[0]
+            feats = feats.reshape(n_p, -1, feats.shape[-1])  # N_p×T×C
+            qf = feats[jnp.arange(n_p), query_frames]  # N_p×C
+            num = jnp.einsum("ntc,nc->nt", feats, qf)
+            den = (jnp.linalg.norm(feats, axis=-1)
+                   * jnp.linalg.norm(qf, axis=-1)[:, None])
+            # torch cosine_similarity clamps the denominator at eps=1e-8
+            return num / jnp.clip(den, min=1e-8)
 
-        _sample_feats = jax.jit(sample_feats)
-        self._sample_feats = lambda pts: _sample_feats(self.refined_features,
-                                                       pts)
+        self._cos_sims = jax.jit(cos_sims_fn)
 
     # ------------------------------------------------------------------
     def _predict_chunked(self, source_points, source_frames, target_frames):
@@ -199,16 +210,22 @@ class ModelInference:
 
     def compute_trajectory_cos_sims(self, trajectories, query_points):
         """N×T cos sims between per-frame trajectory features and the
-        query-frame feature (reference model_inference.py:110-126)."""
+        query-frame feature (reference model_inference.py:110-126).
+        Rows are padded to a multiple of 64 so the jitted program is shared
+        across videos with different query-point counts (padded rows repeat
+        row 0 and are sliced off)."""
         n, t = trajectories.shape[:2]
-        feats = self._sample_feats(trajectories.reshape(-1, 3)).reshape(n, t, -1)
-        query_frames = jnp.asarray(query_points)[:, 2].astype(jnp.int32)
-        query_feats = feats[jnp.arange(n), query_frames]  # N×C
-        num = jnp.einsum("ntc,nc->nt", feats, query_feats)
-        den = (jnp.linalg.norm(feats, axis=-1)
-               * jnp.linalg.norm(query_feats, axis=-1)[:, None])
-        # torch cosine_similarity clamps the denominator at eps=1e-8
-        return num / jnp.clip(den, min=1e-8)
+        traj = np.asarray(trajectories)
+        qf = np.asarray(query_points)[:, 2].astype(np.int32)
+        n_p = -(-n // 64) * 64
+        if n_p != n:
+            traj = np.concatenate(
+                [traj, np.broadcast_to(traj[:1], (n_p - n,) + traj.shape[1:])])
+            qf = np.concatenate([qf, np.zeros(n_p - n, np.int32)])
+        cos = self._cos_sims(self.refined_features,
+                             jnp.asarray(traj.reshape(n_p * t, -1)),
+                             jnp.asarray(qf))
+        return cos[:n]
 
     def compute_anchor_trajectories(self, trajectories, cos_sims=None):
         """G[q, a, t] = trajectory point (q, t) re-tracked to anchor frame
@@ -216,10 +233,16 @@ class ModelInference:
 
         With ``cos_sims`` given, anchors are ONLY the visible frames
         (cos ≥ threshold, reference model_inference.py:160-163), gathered
-        onto a padded axis of size A = max visible count rounded up to a
-        multiple of 8 (static shapes, bounded recompiles) — cutting the
-        dominant inference batch by ~T/T_vis vs predicting all T×T pairs.
-        Without ``cos_sims`` every frame is an anchor (A = T).
+        onto a padded axis whose size A is the smallest of the FIXED
+        buckets {8, 16, 32, T} that fits the max visible count — cutting
+        the dominant inference batch by ~T/T_vis vs predicting all T×T
+        pairs. The bucket set is fixed (not per-video multiples of 8)
+        because every distinct A compiles a fresh multi-target kernel
+        variant: on a 30-video benchmark, per-video visible-anchor counts
+        spawned a different variant almost every video (~425 s of relay
+        compiles on video 1 of the warm-inference probe); four shared
+        buckets amortize across the whole benchmark. Without ``cos_sims``
+        every frame is an anchor (A = T).
 
         Returns (G N×A×T×2, anchor_idx N×A int32, anchor_valid N×A bool).
         """
@@ -229,7 +252,12 @@ class ModelInference:
             anchor_valid = np.ones((n, t), bool)
         else:
             visible = np.asarray(cos_sims) >= self.anchor_cosine_similarity_threshold
-            a_cap = int(min(t, max(8, -8 * (-int(visible.sum(1).max()) // 8))))
+            max_vis = int(visible.sum(1).max())
+            a_cap = t
+            for bucket in (8, 16, 32):
+                if bucket >= max_vis and bucket < t:
+                    a_cap = bucket
+                    break
             # stable argsort puts visible indices first, in frame order
             order = np.argsort(~visible, axis=1, kind="stable")[:, :a_cap]
             anchor_valid = np.take_along_axis(visible, order, axis=1)
@@ -295,11 +323,27 @@ class ModelInference:
 
     def infer(self, query_points, batch_size: Optional[int] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
-        """(trajectories N×T×2 pixel, occlusions N×T bool)."""
-        trajs = self.compute_trajectories(query_points)
-        cos_sims = self.compute_trajectory_cos_sims(trajs, query_points)
+        """(trajectories N×T×2 pixel, occlusions N×T bool).
+
+        The query rows are padded to a multiple of 32 (copies of row 0,
+        sliced off at the end): every stage is row-independent, and the
+        per-video query-point count otherwise leaks into the shape of every
+        downstream program — the warm-inference probe measured ~90 s of
+        fresh relay compiles on the second video of a benchmark just from a
+        different point count. Row quantization makes all of them shared.
+        (Duplicated rows cannot change the anchor bucket either: the bucket
+        depends on the max visible count over rows, and a copy of row 0
+        never exceeds row 0.)"""
+        qp = np.asarray(query_points)
+        n = qp.shape[0]
+        n_p = -(-n // 32) * 32
+        if n_p != n:
+            qp = np.concatenate(
+                [qp, np.broadcast_to(qp[:1], (n_p - n,) + qp.shape[1:])])
+        trajs = self.compute_trajectories(qp)
+        cos_sims = self.compute_trajectory_cos_sims(trajs, qp)
         anchors, anchor_idx, anchor_valid = self.compute_anchor_trajectories(
             trajs, cos_sims)
         occ = self.compute_occlusion(trajs, cos_sims, anchors,
                                      anchor_idx, anchor_valid)
-        return np.asarray(trajs[..., :2]), np.asarray(occ)
+        return np.asarray(trajs[:n, :, :2]), np.asarray(occ[:n])
