@@ -187,16 +187,22 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
 
     pairs = np.asarray([(s, u) for s in range(t) for u in range(s + 1, t)],
                        np.int32).reshape(-1, 2)
-    batches = range(0, len(pairs), bsz)
-    if progress:
-        from tqdm import tqdm
-        batches = tqdm(batches, desc="best buddies",
-                       total=-(-len(pairs) // bsz))
-    for b0 in batches:
+    # enqueue every batch before fetching any result: dispatch is async, so
+    # queued programs pipeline through the device while earlier fetches
+    # drain. The previous dispatch→fetch→dispatch loop serialized one relay
+    # round trip per batch (~0.4 s × ~300 batches at the adaptive cap — the
+    # dominant cost of the sweep, not the compute). Per-batch outputs are
+    # ~0.5 MB so holding them all is cheap.
+    inflight = []
+    for b0 in range(0, len(pairs), bsz):
         chunk = pairs[b0:b0 + bsz]
         padded = pad_to_multiple(chunk, bsz)
-        si_b, ti_b, cs_b, va_b, ct_b = map(
-            np.asarray, dispatch(padded[:, 0], padded[:, 1]))
+        inflight.append((chunk, dispatch(padded[:, 0], padded[:, 1])))
+    if progress:
+        from tqdm import tqdm
+        inflight = tqdm(inflight, desc="best buddies")
+    for chunk, out in inflight:
+        si_b, ti_b, cs_b, va_b, ct_b = map(np.asarray, out)
         for j, (s, u) in enumerate(chunk):
             si, ti, cs, va = si_b[j], ti_b[j], cs_b[j], va_b[j]
             src_c[s, u] = grid_np[si]
@@ -414,15 +420,18 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
     r_out = np.ones((t, t, cap), np.float32)
     pairs = np.asarray([(s, u) for s in range(t) for u in range(s + 1, t)],
                        np.int32).reshape(-1, 2)
-    batches = range(0, len(pairs), bsz)
-    if progress:
-        from tqdm import tqdm
-        batches = tqdm(batches, desc="bb ambiguity",
-                       total=-(-len(pairs) // bsz))
-    for b0 in batches:
+    # enqueue all batches before the first fetch (async dispatch pipelines
+    # through the relay; see the same pattern in extract_best_buddies)
+    inflight = []
+    for b0 in range(0, len(pairs), bsz):
         chunk = pairs[b0:b0 + bsz]
         padded = pad_to_multiple(chunk, bsz)
-        r_b = np.asarray(dispatch(padded[:, 0], padded[:, 1]))
+        inflight.append((chunk, dispatch(padded[:, 0], padded[:, 1])))
+    if progress:
+        from tqdm import tqdm
+        inflight = tqdm(inflight, desc="bb ambiguity")
+    for chunk, out in inflight:
+        r_b = np.asarray(out)
         for j, (s, u) in enumerate(chunk):
             r_out[s, u] = r_b[j]
             r_out[u, s] = r_b[j]
