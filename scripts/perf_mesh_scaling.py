@@ -63,10 +63,13 @@ def stage_train(mesh):
     from dino_tracker_tpu.training import train as train_lib
 
     n = mesh.devices.size
-    t, h, w, c = 8, 70, 98, 32
+    # shapes sized so per-op DEVICE compute dominates the single-core host's
+    # per-device dispatch work — tiny shapes make every stage look
+    # "serialized" (host dispatch × n) even when the partitioning is perfect
+    t, h, w, c = 8, 140, 196, 32
     tcfg = TrackerConfig(video_h=h, video_w=w, delta_channels=(3, 8, 8, 8, c))
-    cfg = TrainConfig(train_batch_size=256, batch_n_frames=4,
-                      cyc_n_frames=2, cyc_batch_size_per_frame=32,
+    cfg = TrainConfig(train_batch_size=512, batch_n_frames=4,
+                      cyc_n_frames=2, cyc_batch_size_per_frame=64,
                       cl_n_frames=2, cl_points_per_pair=64)
     data = ge._synthetic_video_data(t, h, w, c, bb_cap=16, n_traj=400,
                                     tcfg=tcfg)
@@ -116,7 +119,7 @@ def stage_inference(mesh):
     from dino_tracker_tpu.models import tracker as tracker_lib
     from dino_tracker_tpu.models.tracker import TrackerConfig
     rng = np.random.default_rng(3)
-    t, h, w, c = 8, 70, 98, 32
+    t, h, w, c = 16, 140, 196, 32
     tcfg = TrackerConfig(video_h=h, video_w=w, delta_channels=(3, 8, 8, 8, c))
     params, stats = tracker_lib.init_tracker(jax.random.PRNGKey(3), tcfg)
     video = jnp.asarray(rng.random((t, 3, h, w), dtype=np.float32))
@@ -125,9 +128,9 @@ def stage_inference(mesh):
     refined = tracker_lib.cache_refined_embeddings(
         params, stats, video, dino, tcfg, frames_chunk=8, mesh=mesh)
     mi = ModelInference(params=params, refined_features=refined, cfg=tcfg,
-                        chunk=64, mesh=mesh)
-    qp = np.stack([rng.random(16) * (w - 1), rng.random(16) * (h - 1),
-                   rng.integers(0, t, 16)], -1).astype(np.float32)
+                        chunk=512, mesh=mesh)
+    qp = np.stack([rng.random(64) * (w - 1), rng.random(64) * (h - 1),
+                   rng.integers(0, t, 64)], -1).astype(np.float32)
 
     def run():
         trajs, _ = mi.infer(qp)
