@@ -172,7 +172,8 @@ def get_point_predictions(params, inp: TrackerInput, frame_embeddings,
 def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
                                   target_frame_idx_g, frame_embeddings,
                                   cfg: TrackerConfig,
-                                  view: Optional[FrameView] = None):
+                                  view: Optional[FrameView] = None,
+                                  mesh=None):
     """Blocked prediction: group g's P points all live on frame
     ``source_frame_idx_g[g]`` and re-predict onto ``target_frame_idx_g[g]``.
 
@@ -183,8 +184,15 @@ def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
     correlation contracts against just that frame — an N-fold FLOP and
     intermediate-memory cut (N=8 at production config) for identical math.
 
+    With ``mesh`` the per-group point axis P shards over ``data`` (G is
+    small — cyc_n_frames — so it cannot feed an 8-chip mesh; P=256 can),
+    and the head runs on a P-major flattening so the merged (P·G) axis
+    inherits the sharding without a regrouping collective.
+
     points_gp3: G×P×(x, y, ·) pixel coords. Returns G×P×2 coords in (-1,1).
     """
+    from ..parallel.mesh import constrain_axis
+
     g, p, _ = points_gp3.shape
     n, c, h, w = frame_embeddings.shape
     if view is None:
@@ -196,6 +204,7 @@ def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
     src_frames = jnp.repeat(source_frame_idx_g, p).astype(pts.dtype)
     pts = jnp.concatenate([pts[:, :2], src_frames[:, None]], axis=1)
     src_f = sample_embeddings(frame_embeddings, pts).reshape(g, p, c)
+    src_f = constrain_axis(src_f, mesh, 1)
 
     tgt = target_frame_idx_g.astype(jnp.int32)
     tgt_flat = jnp.take(view.flat_cd, tgt, axis=0)   # G×C×hw
@@ -205,12 +214,25 @@ def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
     src_norms = jnp.linalg.norm(src_f, axis=2)       # G×P
     corr = corr / jnp.clip(src_norms[..., None] * tgt_norms[:, None, :],
                            min=EPS)
-    corr_maps = jax.nn.relu(corr.reshape(g * p, 1, h, w))
+    corr = constrain_axis(corr, mesh, 1)
+    if mesh is None:
+        corr_maps = jax.nn.relu(corr.reshape(g * p, 1, h, w))
+        out = th.apply_tracker_head(params["tracker_head"], corr_maps,
+                                    (cfg.video_h, cfg.video_w),
+                                    cfg.dino_patch_size, cfg.stride,
+                                    cfg.argmax_radius)
+        return out.reshape(g, p, 2)
+    # P-major flatten: the sharded P axis leads the merge, so the head's
+    # (P·G)-row batch stays partitioned (G-major would shard the second
+    # merged dim, which GSPMD must regroup). The head is per-row, so the
+    # permutation is undone exactly on the way out.
+    corr_maps = jax.nn.relu(corr.transpose(1, 0, 2).reshape(p * g, 1, h, w))
+    corr_maps = constrain_axis(corr_maps, mesh, 0)
     out = th.apply_tracker_head(params["tracker_head"], corr_maps,
                                 (cfg.video_h, cfg.video_w),
                                 cfg.dino_patch_size, cfg.stride,
                                 cfg.argmax_radius)
-    return out.reshape(g, p, 2)
+    return out.reshape(p, g, 2).transpose(1, 0, 2)
 
 
 def get_point_predictions_multi_target(params, source_points_b3,

@@ -49,6 +49,17 @@ def constrain_batch(x, mesh: Optional[Mesh]):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def constrain_axis(x, mesh: Optional[Mesh], axis: int):
+    """Inside-jit sharding constraint: ``axis`` over ``data`` (for blocked
+    layouts whose parallel axis is not leading, e.g. the cycle loss's
+    G×P×… per-pair point blocks sharded over P)."""
+    if mesh is None:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Pad ``axis`` up to a multiple by repeating the last slice — keeps
     batch shapes static (no recompiles) and divisible by the mesh size."""

@@ -129,11 +129,12 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                 cyc_data = cycle.generate_cycle_data(
                     k_cyc, params, refined, sample.frames_set_t, data.fg_masks,
                     tcfg, cfg.cyc_n_frames, cfg.cyc_batch_size_per_frame,
-                    cfg.cyc_fg_points_ratio, cfg.cyc_thresh, view=view)
+                    cfg.cyc_fg_points_ratio, cfg.cyc_thresh, view=view,
+                    mesh=mesh)
                 l_cyc = cycle.cycle_consistency_loss(
                     params, refined, sample.frames_set_t, cyc_data, tcfg,
                     cfg.cyc_gamma, view=view,
-                    group_size=cfg.cyc_batch_size_per_frame)
+                    group_size=cfg.cyc_batch_size_per_frame, mesh=mesh)
             else:
                 l_cyc = jnp.asarray(0.0)
             l_of = jnp.mean(losses.huber(coords, labels))
