@@ -26,6 +26,8 @@ def main():
     import jax.numpy as jnp
     from dino_tracker_tpu.config import PreprocessConfig, add_config_paths
     from dino_tracker_tpu.preprocessing import best_buddies as bb_lib
+    from dino_tracker_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = PreprocessConfig()
     paths = add_config_paths(args.data_path)
@@ -35,10 +37,16 @@ def main():
     print(json.dumps({"features": list(feats.shape),
                       "unfiltered_trajs": list(trajs.shape)}))
 
+    t0 = time.time()
+    feats_dev = jnp.asarray(feats)
+    feats_dev.block_until_ready()
+    print(json.dumps({"h2d_s": round(time.time() - t0, 2),
+                      "bytes": int(feats.nbytes)}))
+
     telemetry: dict = {}
     t0 = time.time()
     bb = bb_lib.extract_best_buddies(
-        jnp.asarray(feats), cfg.video_resh, cfg.video_resw, cfg.dino_stride,
+        feats_dev, cfg.video_resh, cfg.video_resw, cfg.dino_stride,
         cap=args.cap, progress=True, unfiltered_trajectories=trajs,
         telemetry=telemetry)
     np.asarray(bb.valid)  # fence
@@ -48,7 +56,7 @@ def main():
     if not args.skip_nms:
         t0 = time.time()
         bb = bb_lib.compute_bb_ambiguity(
-            bb, jnp.asarray(feats), cfg.video_resh, cfg.video_resw,
+            bb, feats_dev, cfg.video_resh, cfg.video_resw,
             cfg.dino_stride, box_size=float(cfg.dino_bb_box_size),
             iou_thresh=cfg.dino_bb_iou_threshold,
             topk=cfg.dino_bb_nms_topk, progress=True)
