@@ -45,6 +45,17 @@ from ..structures import BBData
 from ..utils.coords import bb_meshgrid
 
 
+def _packbits(mask_n):
+    """Bool (n,) -> packed uint8 (ceil(n/8),), MSB-first — the exact layout
+    ``np.unpackbits`` inverts on the host. A dot with the bit weights keeps
+    it dense vector work (no scatter)."""
+    n = mask_n.shape[0]
+    pad = (-n) % 8
+    m = jnp.pad(mask_n, (0, pad)).reshape(-1, 8).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return jnp.sum(m * weights, axis=1, dtype=jnp.uint8)
+
+
 def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
                     use_of_filter: bool = False, closest_s=None,
                     closest_t=None, traj_invalid=None, s_frame=None,
@@ -85,7 +96,14 @@ def _mutual_nn_core(source_flat_nc, target_flat_mc, cap: int,
         # an n×n one-hot (263 MB) and contracts it (263 GFLOP) PER PAIR —
         # measured 89.7 ms/pair vs the ~3-5 ms affinity+argmax floor, it was
         # the dominant cost of the whole adaptive sweep.
-        return src_max.astype(jnp.int32), cos, is_bb
+        # Wire packing: the whole sweep is relay-FETCH-bound (perf_bb_attrib:
+        # 18.4 of 29.6 s was the ragged fetch), so the per-token outputs ship
+        # in their smallest exact encodings — argmax as u16 when n fits
+        # (8107 tokens at DAVIS scale), the mask as MSB-first packed bits
+        # (np.unpackbits layout). cos stays f32: the goldens pin it to the
+        # reference at 1e-4 and training artifacts store it f32.
+        idx_dtype = jnp.uint16 if n < (1 << 16) else jnp.int32
+        return src_max.astype(idx_dtype), cos, _packbits(is_bb)
     # keep the strongest-cosine buddies when count exceeds capacity (small
     # frames can have fewer tokens than the capacity — pad instead).
     # lax.top_k at this shape (k=1024 of n=8107) was 15.5 of the core's
@@ -256,9 +274,13 @@ def extract_best_buddies(features_tchw, h: int, w: int, stride: int = 7,
         ragged = []
         for chunk, out in inflight:
             sm_b, cs_b, bb_b = _flatten(out)
+            # is_bb arrives bit-packed (see _mutual_nn_core's wire packing);
+            # unpack once per super-chunk and trim the pad back to n tokens
+            bb_b = np.unpackbits(bb_b, axis=1)[:, :n].astype(bool)
             for j, (s, u) in enumerate(chunk):
                 idx = np.nonzero(bb_b[j])[0]
-                ragged.append((s, u, idx, sm_b[j][idx], cs_b[j][idx]))
+                ragged.append((s, u, idx, sm_b[j][idx].astype(np.int64),
+                               cs_b[j][idx]))
                 counts.append(idx.size)
         counts = np.asarray(counts, np.int64)
         _phase("fetch_ragged_s")
@@ -475,7 +497,8 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
                          iou_thresh: float = 0.2, topk: int = 400,
                          patch_size: int = 14, progress: bool = False,
                          pair_batch: int = 16, mesh=None,
-                         rows_per_slab: int = 8192) -> BBData:
+                         rows_per_slab: int = 8192,
+                         telemetry: Optional[dict] = None) -> BBData:
     """Ambiguity r per buddy, symmetrized max(r_fwd, r_bwd) across the two
     directions of each unordered pair (reference compute_dino_bb_nms.py).
     Because the reverse buddy list is the forward list mirrored, the
@@ -497,6 +520,16 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
     half = patch_size // 2
     gw = 1 + (w - patch_size) // stride
     grid = bb_meshgrid(h, w, stride, patch_size)
+
+    phase_t = {}
+    _tick = time.monotonic()
+
+    def _phase(name):
+        nonlocal _tick
+        now = time.monotonic()
+        phase_t[name] = round(now - _tick, 2)
+        _tick = now
+
     # one expression so the t×c×n intermediate (1.7 GB at DAVIS scale) is
     # freed as soon as the transpose lands — both would stay live otherwise
     flat_nc = jnp.asarray(features_tchw).reshape(t, c, -1).transpose(0, 2, 1)
@@ -523,6 +556,7 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
                 rows_tk[u].append(tok[s, u, slots].astype(np.int32))
                 rows_back[u].append((s, slots))
 
+    _phase("group_rows_s")
     r_out = np.ones((t, t, cap), np.float32)
     m_max = max((sum(a.size for a in rows_tk[f]) for f in range(t)),
                 default=0)
@@ -567,11 +601,15 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
         tk_2d[i, :sf.size] = np.concatenate(rows_tk[f])
     args = (flat_nc, jnp.asarray(sf_2d), jnp.asarray(tk_2d),
             jnp.asarray(frames, jnp.int32))
+    _phase("pack_rows_s")
     if mesh is not None:
         with mesh:
-            r_all = np.asarray(run_all(*args))
+            r_fut = run_all(*args)
     else:
-        r_all = np.asarray(run_all(*args))
+        r_fut = run_all(*args)
+    _phase("dispatch_s")  # tracing + compilation (execution is async)
+    r_all = np.asarray(r_fut)
+    _phase("execute_fetch_s")
     for i, f in enumerate(frames):
         offset = 0
         for s, slots in rows_back[f]:
@@ -580,4 +618,10 @@ def compute_bb_ambiguity(bb: BBData, features_tchw, h: int, w: int,
     # symmetrize across directions: the reverse buddy list is the mirror of
     # the forward one, so slot k of (s,u) pairs with slot k of (u,s)
     r_sym = np.maximum(r_out, r_out.transpose(1, 0, 2))
+    _phase("scatter_s")
+    if telemetry is not None:
+        telemetry.update({"phases": phase_t, "m_max": int(m_max),
+                          "rows_total": int(sum(
+                              sum(a.size for a in rows_tk[f])
+                              for f in range(t)))})
     return bb._replace(r=r_sym)
