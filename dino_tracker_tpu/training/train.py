@@ -257,6 +257,7 @@ class Trainer:
                 pass
 
         running, running_n = {}, 0
+        saver = ckpt_lib.AsyncSaver()
         while i < self.cfg.total_iterations:
             n = self._next_chunk(i, log_interval)
             key, sub = jax.random.split(key)
@@ -276,9 +277,12 @@ class Trainer:
                 logger.info("iter %d: %s", i, {
                     k: float(v) / running_n for k, v in running.items()})
                 running, running_n = {}, 0
-            if i == self.cfg.total_iterations or (
-                    i % self.cfg.checkpoint_interval == 0):
-                ckpt_lib.save_state(self.ckpt_folder, state, i)
+            if (i % self.cfg.checkpoint_interval == 0
+                    and i < self.cfg.total_iterations):
+                # async: the state fetch (~25-30 s over the relay) overlaps
+                # the next chunks' dispatches; join() below gates completion.
+                # The final state is saved synchronously after the loop.
+                saver.save(self.ckpt_folder, state, i)
             # rotate the HBM trajectory window (reference load_next_batch,
             # dino_tracker.py:444-446)
             if (self.bank_rotator is not None
@@ -289,6 +293,7 @@ class Trainer:
                                                bg_bank=bg_bank)
         if bar is not None:
             bar.close()
+        saver.join()  # all interval saves landed (or their failure raises)
         ckpt_lib.save_state(self.ckpt_folder, state,
                             self.cfg.total_iterations)
         return state
