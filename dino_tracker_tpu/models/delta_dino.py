@@ -114,7 +114,20 @@ def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
         is_last = i == n_layers - 1
         dilation = DILATIONS[i]
         padding = (KERNEL_SIZE + (KERNEL_SIZE - 1) * (dilation - 1)) // 2
-        x = nn.conv2d(x.astype(compute_dtype), layer["conv"], stride=1,
+        # Every conv here feeds a train-mode BatchNorm, whose batch-mean
+        # subtraction cancels the conv bias EXACTLY — the bias gradient is
+        # zero in real arithmetic (the reference's Adam sees only float
+        # cancellation noise ~1e-10 on it, models/networks/delta_dino.py).
+        # stop_gradient prunes the autodiff reduce_sum that would otherwise
+        # read the full-resolution activations per layer (~3.5 ms/iter
+        # measured in the r4 device trace). Forward values are unchanged.
+        import os
+        if os.environ.get("DTT_BIAS_STOPGRAD", "1") == "1":
+            conv_p = {"w": layer["conv"]["w"],
+                      "b": jax.lax.stop_gradient(layer["conv"]["b"])}
+        else:  # perf ablation: autodiff the (exactly-zero) bias gradient
+            conv_p = layer["conv"]
+        x = nn.conv2d(x.astype(compute_dtype), conv_p, stride=1,
                       dilation=dilation, padding=padding,
                       padding_mode="reflect")
         x, s = nn.batchnorm(x, layer["bn"], stats, train=train)

@@ -13,12 +13,75 @@ Layout: public arrays are NCHW (the artifact contract); compute is NHWC
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _reflect_unpad_axis(g, pl: int, pr: int, axis: int):
+    """Transpose of even-symmetric reflect padding along one axis.
+
+    Source row r receives the cotangent of every padded row that mirrors to
+    it: rows 1..pl get the left strip flipped, rows n-1-pr..n-2 the right
+    strip flipped. Emitted as ONE concatenate (one full write) — the r4
+    device trace showed XLA's own pad-transpose as a chain of full-tensor
+    slice+add copies costing ~12 ms/iter across the DeltaDINO stack.
+    """
+    n = g.shape[axis] - pl - pr
+    core = jax.lax.slice_in_dim(g, pl, pl + n, axis=axis)
+    left = (jnp.flip(jax.lax.slice_in_dim(g, 0, pl, axis=axis), axis=axis)
+            if pl else None)
+    right = (jnp.flip(jax.lax.slice_in_dim(g, pl + n, pl + n + pr, axis=axis),
+                      axis=axis) if pr else None)
+    if pl + pr + 2 <= n:  # strip targets disjoint -> single concat
+        parts = [jax.lax.slice_in_dim(core, 0, 1, axis=axis)]
+        if pl:
+            parts.append(jax.lax.slice_in_dim(core, 1, 1 + pl, axis=axis)
+                         + left)
+        parts.append(jax.lax.slice_in_dim(core, 1 + pl, n - 1 - pr, axis=axis))
+        if pr:
+            parts.append(jax.lax.slice_in_dim(core, n - 1 - pr, n - 1,
+                                              axis=axis) + right)
+        parts.append(jax.lax.slice_in_dim(core, n - 1, n, axis=axis))
+        return jnp.concatenate(parts, axis=axis)
+    # tiny-axis fallback (strip targets overlap): exact, scatter-add form
+    out = core
+    if pl:
+        idx = tuple(slice(1, 1 + pl) if a == axis else slice(None)
+                    for a in range(g.ndim))
+        out = out.at[idx].add(left)
+    if pr:
+        idx = tuple(slice(n - 1 - pr, n - 1) if a == axis else slice(None)
+                    for a in range(g.ndim))
+        out = out.at[idx].add(right)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def reflect_pad2d(x_nhwc, pads: Tuple[Tuple[int, int], Tuple[int, int]]):
+    """Reflect-pad H and W of an NHWC tensor; ``pads`` = ((top, bottom),
+    (left, right)), torch ReflectionPad2d / np 'reflect' (edge not repeated)
+    semantics. Forward is ``jnp.pad``; the custom backward replaces XLA's
+    chained full-tensor slice+add pad-transpose with one concatenate per
+    axis (~3x less HBM traffic at DeltaDINO shapes)."""
+    return jnp.pad(x_nhwc, ((0, 0), pads[0], pads[1], (0, 0)), mode="reflect")
+
+
+def _reflect_pad2d_fwd(x_nhwc, pads):
+    return reflect_pad2d(x_nhwc, pads), None
+
+
+def _reflect_pad2d_bwd(pads, _res, g):
+    g = _reflect_unpad_axis(g, pads[1][0], pads[1][1], axis=2)
+    g = _reflect_unpad_axis(g, pads[0][0], pads[0][1], axis=1)
+    return (g,)
+
+
+reflect_pad2d.defvjp(_reflect_pad2d_fwd, _reflect_pad2d_bwd)
 
 
 def kaiming_uniform_conv(key, out_ch: int, in_ch: int, kh: int, kw: int,
@@ -39,9 +102,20 @@ def conv2d(x_nhwc, params, stride: int = 1, dilation: int = 1,
            padding: int = 0, padding_mode: str = "zeros", groups: int = 1):
     """2-D conv, NHWC × HWIO -> NHWC. ``padding`` is symmetric spatial pad."""
     if padding > 0 and padding_mode != "zeros":
-        mode = {"reflect": "reflect", "replicate": "edge"}[padding_mode]
-        x_nhwc = jnp.pad(x_nhwc, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-                         mode=mode)
+        if padding_mode == "reflect":
+            import os
+            if os.environ.get("DTT_REFLECT_PAD_VJP", "1") == "1":
+                x_nhwc = reflect_pad2d(
+                    x_nhwc, ((padding, padding), (padding, padding)))
+            else:  # perf ablation: XLA's own pad-transpose backward
+                x_nhwc = jnp.pad(
+                    x_nhwc,
+                    ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                    mode="reflect")
+        else:
+            x_nhwc = jnp.pad(
+                x_nhwc, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                mode={"replicate": "edge"}[padding_mode])
         pad = "VALID"
     else:
         pad = [(padding, padding), (padding, padding)]
@@ -116,22 +190,74 @@ def blurpool_filter(filt_size: int = 4) -> np.ndarray:
     return (f / f.sum()).astype(np.float32)
 
 
-def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4):
+@functools.lru_cache(maxsize=None)
+def _blur_reflect_axis_matrix(n_in: int, stride: int, filt_size: int):
+    """Banded [n_out, n_in] matrix of the 1-D binomial blur with the
+    reflect padding folded into the band positions (np 'reflect' even
+    symmetry: padded index p reads source |p - pl| mirrored at n-1).
+
+    The 2-D binomial filter is separable (outer(a,a)/ (Σa)² = (a/Σa)⊗(a/Σa))
+    and Σa is a power of two for every filt_size ≤ 5, so the per-axis
+    weights are exact binary floats — the factorization introduces no
+    rounding of the filter itself."""
+    a = np.asarray({1: [1.0], 2: [1.0, 1.0], 3: [1.0, 2.0, 1.0],
+                    4: [1.0, 3.0, 3.0, 1.0], 5: [1.0, 4.0, 6.0, 4.0, 1.0],
+                    6: [1.0, 5.0, 10.0, 10.0, 5.0, 1.0],
+                    7: [1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0]}[filt_size],
+                   np.float64)
+    a = a / a.sum()
+    pl = (filt_size - 1) // 2
+    pr = math.ceil((filt_size - 1) / 2)
+    n_out = (n_in + pl + pr - filt_size) // stride + 1
+    mat = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        for k in range(filt_size):
+            s = o * stride + k - pl
+            if s < 0:
+                s = -s
+            if s >= n_in:
+                s = 2 * n_in - 2 - s
+            mat[o, s] += a[k]
+    return mat
+
+
+def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4,
+             impl: str = None):
     """Anti-aliased downsampling: reflect-pad + depthwise binomial filter.
 
     Matches antialiased_cnns.BlurPool (used by the reference DeltaDINO,
     models/networks/delta_dino.py:44): pad (left, right, top, bottom) =
     ((f-1)//2, ceil((f-1)/2)) reflect, depthwise stride ``stride``.
 
-    Implemented as a per-channel grouped conv. (A separable strided-slice
-    multiply-add formulation was tried and measured SLOWER inside the full
-    train program on TPU — strided slices along the spatial dims tile worse
-    than the conv emitter's depthwise lowering.)
+    ``impl="matmul"`` (default): two banded dense matmuls over H then W
+    with the reflect pad folded into the bands. A depthwise conv has ~16
+    MACs/element — HBM-bound, and XLA's depthwise lowering measured 7x off
+    the bandwidth bound in the r4 device trace (~8 ms/iter across the three
+    DeltaDINO blurpools, fwd+bwd); as dense contractions both passes and
+    their transposes ride the MXU. The H-pass accumulates in f32, so the
+    only numeric difference vs the conv form is summation order.
+
+    ``impl="conv"``: the per-channel grouped-conv form. (A separable
+    strided-slice multiply-add formulation was also tried and measured
+    SLOWER inside the full train program on TPU — strided slices along the
+    spatial dims tile worse than the conv emitter's depthwise lowering.)
     """
     c = x_nhwc.shape[-1]
     pl = (filt_size - 1) // 2
     pr = math.ceil((filt_size - 1) / 2)
-    x = jnp.pad(x_nhwc, ((0, 0), (pl, pr), (pl, pr), (0, 0)), mode="reflect")
+    if impl is None:
+        import os
+        impl = os.environ.get("DTT_BLURPOOL", "matmul")
+    if impl == "matmul":
+        h, w = x_nhwc.shape[1], x_nhwc.shape[2]
+        mh = jnp.asarray(_blur_reflect_axis_matrix(h, stride, filt_size))
+        mw = jnp.asarray(_blur_reflect_axis_matrix(w, stride, filt_size))
+        y = jnp.einsum("oh,nhwc->nowc", mh.astype(x_nhwc.dtype), x_nhwc,
+                       preferred_element_type=jnp.float32)
+        out = jnp.einsum("pw,nowc->nopc", mw, y,
+                         preferred_element_type=jnp.float32)
+        return out.astype(x_nhwc.dtype)
+    x = reflect_pad2d(x_nhwc, ((pl, pr), (pl, pr)))
     filt = jnp.asarray(blurpool_filter(filt_size), dtype=x.dtype)
     w = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (depthwise)
     preferred = jnp.float32 if x.dtype == jnp.float32 else None

@@ -64,6 +64,20 @@ def init_tracker(key, cfg: TrackerConfig):
     return params, batch_stats
 
 
+def _gather_frames(x_tchw, frames_set_t):
+    """Gather frames along axis 0 as a flat row take (see call site).
+
+    DTT_FRAME_GATHER=fancy restores the plain x[idx] form (perf ablation).
+    """
+    import os
+    if os.environ.get("DTT_FRAME_GATHER", "take2d") == "fancy":
+        return x_tchw[frames_set_t]
+    t = x_tchw.shape[0]
+    flat = x_tchw.reshape(t, -1)
+    rows = jnp.take(flat, frames_set_t, axis=0)
+    return rows.reshape((frames_set_t.shape[0],) + x_tchw.shape[1:])
+
+
 def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
                            frames_set_t, cfg: TrackerConfig, train: bool):
     """Refined = raw DINO + DeltaDINO residual for the frame set.
@@ -72,8 +86,14 @@ def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
     Reference models/tracker.py:113-129 (the 8-frame chunking there is a GPU
     memory workaround; on TPU the whole set is one batched conv).
     """
-    raw = dino_embed_tchw[frames_set_t]
-    frames = video_tchw[frames_set_t]
+    # Frame gathers as flat 2-D row takes: the naive x[frames_set] on the
+    # [T,C,h,w] stack made XLA relayout the FULL resident feature video
+    # (1.66 GB read+write, 5.7 ms/iter in the r4 device trace) before
+    # gathering 8 frames. Flattening to [T, C*h*w] rows (a bitcast) keeps
+    # the gather a pure row DMA; any relayout then happens on the gathered
+    # 8-frame slice only.
+    raw = _gather_frames(dino_embed_tchw, frames_set_t)
+    frames = _gather_frames(video_tchw, frames_set_t)
     residual, new_dd_stats = dd.apply_delta_dino(
         params["delta_dino"], batch_stats["delta_dino"], frames, cfg.feat_hw,
         train=train, vit_stride=cfg.stride, vit_patch_size=cfg.dino_patch_size,

@@ -112,7 +112,7 @@ def window_gather(vol, sy, sx, side: int = 10, block: int = BLOCK,
             num_scalar_prefetch=2,  # sy, sx whole-array in SMEM
             grid=(rows // block,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # vol stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
             ],
             out_specs=pl.BlockSpec((block, side, side),
                                    lambda i, sy, sx: (i, 0, 0)),

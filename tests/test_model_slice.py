@@ -270,3 +270,71 @@ def test_full_forward_shapes_and_jit():
     # at init the refiner residual is zero -> refined == raw
     np.testing.assert_allclose(np.asarray(aux.frame_embeddings),
                                np.asarray(aux.raw_embeddings), atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,pads,exact", [
+    ((2, 13, 17, 5), ((2, 2), (2, 2)), True),   # conv2d reflect pad
+    ((2, 13, 17, 5), ((1, 2), (1, 2)), True),   # blurpool filt=4 pad
+    ((2, 13, 17, 5), ((4, 4), (4, 4)), True),   # dilation-2 k=5 pad
+    # tiny axes -> overlap fallback: >=3 contributions per element, float
+    # summation order differs from XLA's pad-transpose -> tolerance only
+    ((1, 4, 5, 3), ((2, 2), (2, 2)), False),
+    ((1, 5, 4, 3), ((1, 2), (1, 2)), False),
+])
+def test_reflect_pad2d_custom_vjp_exact(shape, pads, exact):
+    """reflect_pad2d's hand-written backward must match XLA's autodiff of
+    jnp.pad bit-for-bit on production-shaped (disjoint-strip) inputs (it
+    replaces a chain of full-tensor slice+add copies the r4 device trace
+    measured at ~12 ms/iter)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal(
+        (shape[0], shape[1] + sum(pads[0]), shape[2] + sum(pads[1]),
+         shape[3])), jnp.float32)
+
+    def ref(x):
+        return jnp.sum(jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)),
+                               mode="reflect") * cot)
+
+    def ours(x):
+        return jnp.sum(jnn.reflect_pad2d(x, pads) * cot)
+
+    np.testing.assert_array_equal(np.asarray(jnn.reflect_pad2d(x, pads)),
+                                  np.asarray(jnp.pad(
+                                      x, ((0, 0), pads[0], pads[1], (0, 0)),
+                                      mode="reflect")))
+    g_ref = jax.grad(ref)(x)
+    g_ours = jax.grad(ours)(x)
+    tol = dict(rtol=0, atol=0) if exact else dict(rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), **tol)
+
+
+def test_reflect_pad2d_custom_vjp_bf16():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 4)), jnp.bfloat16)
+    pads = ((2, 2), (2, 2))
+
+    def ref(x):
+        return jnp.sum(jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)),
+                               mode="reflect").astype(jnp.float32) ** 2)
+
+    def ours(x):
+        return jnp.sum(jnn.reflect_pad2d(x, pads).astype(jnp.float32) ** 2)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(ours)(x), np.float32),
+        np.asarray(jax.grad(ref)(x), np.float32))
+
+
+@pytest.mark.parametrize("shape", [(2, 13, 17, 5), (1, 10, 8, 3)])
+@pytest.mark.parametrize("filt_size,stride", [(4, 2), (3, 2), (5, 2)])
+def test_blurpool_matmul_matches_conv(shape, filt_size, stride):
+    """The banded-matmul blurpool must match the depthwise-conv form (which
+    is itself torch-parity-tested above) to f32 summation-order tolerance."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    a = jnn.blurpool(x, stride=stride, filt_size=filt_size, impl="matmul")
+    b = jnn.blurpool(x, stride=stride, filt_size=filt_size, impl="conv")
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
