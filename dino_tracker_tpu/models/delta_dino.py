@@ -100,12 +100,14 @@ def align_cnn_vit_features(vit_hw: Tuple[int, int], cnn_features_nchw,
 
 def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
                      train: bool, vit_stride: int = 7, vit_patch_size: int = 14,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, bias_stopgrad: bool = True,
+                     reflect_vjp: bool = True, blurpool_impl: str = "matmul"):
     """frames: N×3×H×W in [0,1] -> residual features N×C×vh×vw.
 
     Returns (residual, new_batch_stats). With compute_dtype=bfloat16 the conv
     inputs/weights run on the MXU in bf16 with f32 accumulation; batch-norm
-    statistics and the residual output stay f32.
+    statistics and the residual output stay f32. ``bias_stopgrad`` /
+    ``reflect_vjp`` / ``blurpool_impl`` mirror the TrackerConfig perf fields.
     """
     x = nn.nchw_to_nhwc(frames_nchw)
     new_stats = []
@@ -114,28 +116,30 @@ def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
         is_last = i == n_layers - 1
         dilation = DILATIONS[i]
         padding = (KERNEL_SIZE + (KERNEL_SIZE - 1) * (dilation - 1)) // 2
-        # Every conv here feeds a train-mode BatchNorm, whose batch-mean
+        # Every conv here feeds a TRAIN-mode BatchNorm, whose batch-mean
         # subtraction cancels the conv bias EXACTLY — the bias gradient is
         # zero in real arithmetic (the reference's Adam sees only float
         # cancellation noise ~1e-10 on it, models/networks/delta_dino.py).
         # stop_gradient prunes the autodiff reduce_sum that would otherwise
         # read the full-resolution activations per layer (~3.5 ms/iter
         # measured in the r4 device trace). Forward values are unchanged.
-        import os
-        if os.environ.get("DTT_BIAS_STOPGRAD", "1") == "1":
+        # The identity holds only for batch-statistics normalization, so the
+        # pruning is gated on ``train`` — an eval-mode forward differentiates
+        # the bias normally.
+        if bias_stopgrad and train:
             conv_p = {"w": layer["conv"]["w"],
                       "b": jax.lax.stop_gradient(layer["conv"]["b"])}
-        else:  # perf ablation: autodiff the (exactly-zero) bias gradient
+        else:
             conv_p = layer["conv"]
         x = nn.conv2d(x.astype(compute_dtype), conv_p, stride=1,
                       dilation=dilation, padding=padding,
-                      padding_mode="reflect")
+                      padding_mode="reflect", reflect_vjp=reflect_vjp)
         x, s = nn.batchnorm(x, layer["bn"], stats, train=train)
         new_stats.append(s)
         if not is_last:
             x = jax.nn.relu(x)
         if DOWNSAMPLE[i]:
-            x = nn.blurpool(x, stride=DOWN_STRIDE)
+            x = nn.blurpool(x, stride=DOWN_STRIDE, impl=blurpool_impl)
     x = nn.nhwc_to_nchw(x)
     x = align_cnn_vit_features(vit_hw, x, vit_patch_size, vit_stride,
                                cnn_stride=total_stride())

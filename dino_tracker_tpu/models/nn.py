@@ -67,7 +67,16 @@ def reflect_pad2d(x_nhwc, pads: Tuple[Tuple[int, int], Tuple[int, int]]):
     (left, right)), torch ReflectionPad2d / np 'reflect' (edge not repeated)
     semantics. Forward is ``jnp.pad``; the custom backward replaces XLA's
     chained full-tensor slice+add pad-transpose with one concatenate per
-    axis (~3x less HBM traffic at DeltaDINO shapes)."""
+    axis (~3x less HBM traffic at DeltaDINO shapes).
+
+    The custom backward assumes single-fold reflection (pad ≤ dim−1, the
+    torch ReflectionPad2d validity domain); multi-fold pads would need the
+    padded rows to mirror more than once."""
+    if (pads[0][0] >= x_nhwc.shape[1] or pads[0][1] >= x_nhwc.shape[1]
+            or pads[1][0] >= x_nhwc.shape[2] or pads[1][1] >= x_nhwc.shape[2]):
+        raise ValueError(
+            f"reflect_pad2d: pad {pads} >= spatial dim of {x_nhwc.shape} "
+            "(multi-fold reflection unsupported by the custom VJP)")
     return jnp.pad(x_nhwc, ((0, 0), pads[0], pads[1], (0, 0)), mode="reflect")
 
 
@@ -99,15 +108,18 @@ def kaiming_uniform_conv(key, out_ch: int, in_ch: int, kh: int, kw: int,
 
 
 def conv2d(x_nhwc, params, stride: int = 1, dilation: int = 1,
-           padding: int = 0, padding_mode: str = "zeros", groups: int = 1):
-    """2-D conv, NHWC × HWIO -> NHWC. ``padding`` is symmetric spatial pad."""
+           padding: int = 0, padding_mode: str = "zeros", groups: int = 1,
+           reflect_vjp: bool = True):
+    """2-D conv, NHWC × HWIO -> NHWC. ``padding`` is symmetric spatial pad.
+
+    ``reflect_vjp=False`` falls back to XLA's autodiff pad-transpose instead
+    of the one-concat custom backward (TrackerConfig.reflect_pad_vjp)."""
     if padding > 0 and padding_mode != "zeros":
         if padding_mode == "reflect":
-            import os
-            if os.environ.get("DTT_REFLECT_PAD_VJP", "1") == "1":
+            if reflect_vjp:
                 x_nhwc = reflect_pad2d(
                     x_nhwc, ((padding, padding), (padding, padding)))
-            else:  # perf ablation: XLA's own pad-transpose backward
+            else:
                 x_nhwc = jnp.pad(
                     x_nhwc,
                     ((0, 0), (padding, padding), (padding, padding), (0, 0)),
@@ -190,7 +202,7 @@ def blurpool_filter(filt_size: int = 4) -> np.ndarray:
     return (f / f.sum()).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _blur_reflect_axis_matrix(n_in: int, stride: int, filt_size: int):
     """Banded [n_out, n_in] matrix of the 1-D binomial blur with the
     reflect padding folded into the band positions (np 'reflect' even
@@ -222,7 +234,7 @@ def _blur_reflect_axis_matrix(n_in: int, stride: int, filt_size: int):
 
 
 def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4,
-             impl: str = None):
+             impl: str = "matmul"):
     """Anti-aliased downsampling: reflect-pad + depthwise binomial filter.
 
     Matches antialiased_cnns.BlurPool (used by the reference DeltaDINO,
@@ -236,6 +248,8 @@ def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4,
     DeltaDINO blurpools, fwd+bwd); as dense contractions both passes and
     their transposes ride the MXU. The H-pass accumulates in f32, so the
     only numeric difference vs the conv form is summation order.
+    Confirmed by the round-5 on-chip A/B (scripts/perf_toggle_ab.py,
+    PERF.md round-5): selected as TrackerConfig.blurpool_impl's default.
 
     ``impl="conv"``: the per-channel grouped-conv form. (A separable
     strided-slice multiply-add formulation was also tried and measured
@@ -245,9 +259,6 @@ def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4,
     c = x_nhwc.shape[-1]
     pl = (filt_size - 1) // 2
     pr = math.ceil((filt_size - 1) / 2)
-    if impl is None:
-        import os
-        impl = os.environ.get("DTT_BLURPOOL", "matmul")
     if impl == "matmul":
         h, w = x_nhwc.shape[1], x_nhwc.shape[2]
         mh = jnp.asarray(_blur_reflect_axis_matrix(h, stride, filt_size))

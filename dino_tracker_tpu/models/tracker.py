@@ -35,6 +35,15 @@ class TrackerConfig:
     # matmul/conv input dtype ("float32" | "bfloat16"); accumulation is
     # always f32 (preferred_element_type) and head/loss math stays f32
     compute_dtype: str = "float32"
+    # Measured perf choices (round-5 on-chip A/B, scripts/perf_toggle_ab.py,
+    # PERF.md round-5) — config fields so a bench run's exact code path is
+    # serializable; defaults are the winners:
+    #   blurpool_impl: "matmul" (banded dense matmuls) | "conv" (depthwise)
+    #   reflect_pad_vjp: one-concat custom reflect-pad backward vs XLA's
+    #   bias_stopgrad: prune the (exactly-zero) DeltaDINO conv-bias grad
+    blurpool_impl: str = "matmul"
+    reflect_pad_vjp: bool = True
+    bias_stopgrad: bool = True
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -65,17 +74,17 @@ def init_tracker(key, cfg: TrackerConfig):
 
 
 def _gather_frames(x_tchw, frames_set_t):
-    """Gather frames along axis 0 as a flat row take (see call site).
+    """Gather frames along axis 0 (plain dynamic-gather form).
 
-    DTT_FRAME_GATHER=fancy restores the plain x[idx] form (perf ablation).
+    The round-4 snapshot shipped a "flat 2-D row take" variant here
+    (reshape to [T, C·h·w] + jnp.take), motivated by a device trace of the
+    pre-r4 program that attributed a full-stack relayout to this gather.
+    The round-5 on-chip A/B of the committed program (scripts/
+    perf_toggle_ab.py, PERF.md round-5) measured the row-take form at
+    218.5 ms/iter vs 134.3 ms/iter for this plain gather — the reshape
+    itself forced the relayout it was meant to avoid. Keep the simple form.
     """
-    import os
-    if os.environ.get("DTT_FRAME_GATHER", "take2d") == "fancy":
-        return x_tchw[frames_set_t]
-    t = x_tchw.shape[0]
-    flat = x_tchw.reshape(t, -1)
-    rows = jnp.take(flat, frames_set_t, axis=0)
-    return rows.reshape((frames_set_t.shape[0],) + x_tchw.shape[1:])
+    return x_tchw[frames_set_t]
 
 
 def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
@@ -97,7 +106,9 @@ def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
     residual, new_dd_stats = dd.apply_delta_dino(
         params["delta_dino"], batch_stats["delta_dino"], frames, cfg.feat_hw,
         train=train, vit_stride=cfg.stride, vit_patch_size=cfg.dino_patch_size,
-        compute_dtype=jnp.dtype(cfg.compute_dtype))
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+        bias_stopgrad=cfg.bias_stopgrad, reflect_vjp=cfg.reflect_pad_vjp,
+        blurpool_impl=cfg.blurpool_impl)
     refined = raw + residual
     return refined, residual, raw, {"delta_dino": new_dd_stats}
 

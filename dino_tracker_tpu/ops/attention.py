@@ -1,7 +1,7 @@
 """Multi-head attention dispatch: Pallas flash kernel on TPU, XLA fallback.
 
 The XLA path is the semantic reference (plain softmax attention); the Pallas
-path must match it to float tolerance (tested in tests/test_attention.py).
+path must match it to float tolerance (tested in tests/test_vit.py).
 """
 
 from __future__ import annotations

@@ -47,8 +47,13 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
                              n_pairs: int, points_per_pair: int,
                              fg_points_ratio: float, temp: float,
                              cl_div: float, sig_a: float, sig_b: float,
-                             view=None):
-    """Reference dino_tracker.py:159-243. Returns a scalar loss."""
+                             view=None, pair_sel=None):
+    """Reference dino_tracker.py:159-243. Returns a scalar loss.
+
+    ``pair_sel``: optional (src_sel, tgt_sel) int arrays overriding the
+    random frame-pair draw — used by the reference-code golden oracle
+    (tests/test_reference_loss_golden.py) to evaluate the deterministic
+    loss math at the exact pairs the seeded reference run drew."""
     set_size = frames_set_t.shape[0]
     n_fg = int(points_per_pair * fg_points_ratio)
     n_bg = points_per_pair - n_fg
@@ -57,10 +62,14 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
                                        jnp.dtype(cfg.compute_dtype))
 
     k_src, k_tgt, k_sel = jax.random.split(key, 3)
-    src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
-    # target != source (the reference redraws until no collision)
-    tgt_off = jax.random.randint(k_tgt, (n_pairs,), 1, set_size)
-    tgt_sel = (src_sel + tgt_off) % set_size
+    if pair_sel is not None:
+        src_sel, tgt_sel = (jnp.asarray(pair_sel[0], jnp.int32),
+                            jnp.asarray(pair_sel[1], jnp.int32))
+    else:
+        src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
+        # target != source (the reference redraws until no collision)
+        tgt_off = jax.random.randint(k_tgt, (n_pairs,), 1, set_size)
+        tgt_sel = (src_sel + tgt_off) % set_size
 
     def pair_select(k, src_idx, tgt_idx):
         """Per-pair point selection + loss weights — no gradient paths."""
@@ -115,9 +124,12 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
                                 fg_masks_thw, cfg: TrackerConfig,
                                 n_pairs: int, points_per_pair: int,
                                 fg_points_ratio: float, temp: float,
-                                cl_div: float, view=None):
+                                cl_div: float, view=None, pair_sel=None):
     """Reference dino_tracker.py:245-330. Buddies mined on-the-fly from the
-    refined features (affinity under stop_gradient, like torch.no_grad)."""
+    refined features (affinity under stop_gradient, like torch.no_grad).
+
+    ``pair_sel``: optional (src_sel, tgt_sel) frame-draw override for the
+    reference-code golden oracle (see dino_bb_contrastive_loss)."""
     set_size = frames_set_t.shape[0]
     s, c, hp, wp = frame_embeddings.shape
     n = hp * wp
@@ -131,9 +143,13 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
                                                cfg.stride, cfg.dino_patch_size)
 
     k_src, k_tgt, k_sel = jax.random.split(key, 3)
-    # reference randint for both — pairs may collide (kept intentionally)
-    src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
-    tgt_sel = jax.random.randint(k_tgt, (n_pairs,), 0, set_size)
+    if pair_sel is not None:
+        src_sel, tgt_sel = (jnp.asarray(pair_sel[0], jnp.int32),
+                            jnp.asarray(pair_sel[1], jnp.int32))
+    else:
+        # reference randint for both — pairs may collide (kept intentionally)
+        src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
+        tgt_sel = jax.random.randint(k_tgt, (n_pairs,), 0, set_size)
 
     flat = frame_embeddings.reshape(s, c, n)
     flat_sg = jax.lax.stop_gradient(view.flat_cd)
