@@ -80,8 +80,16 @@ class ModelInference:
         # ARGUMENTS — closing over them would bake GB-scale constants into
         # the compiled programs. The FrameView (compute-dtype cast + norms of
         # the full T-frame cache) is built once here instead of per dispatch.
-        self._view = tracker.make_frame_view(self.refined_features,
-                                             jnp.dtype(self.cfg.compute_dtype))
+        # Spec mode: with a ShapeDtypeStruct as ``refined_features`` no
+        # device work happens at all — the instance can only prewarm().
+        if isinstance(self.refined_features, jax.ShapeDtypeStruct):
+            self._view = jax.eval_shape(
+                lambda r: tracker.make_frame_view(
+                    r, jnp.dtype(self.cfg.compute_dtype)),
+                self.refined_features)
+        else:
+            self._view = tracker.make_frame_view(
+                self.refined_features, jnp.dtype(self.cfg.compute_dtype))
 
         def predict(params, refined, view, source_points, source_frames,
                     target_frames):
@@ -95,6 +103,7 @@ class ModelInference:
             return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
 
         _predict = jax.jit(predict)
+        self._predict_jit = _predict
 
         def dispatch(p, sp, sf, tf):
             if mesh is not None:
@@ -116,6 +125,7 @@ class ModelInference:
             return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
 
         _predict_multi = jax.jit(predict_multi)
+        self._predict_multi_jit = _predict_multi
 
         def dispatch_multi(p, sp, sf, tf):
             if mesh is not None:
@@ -148,6 +158,60 @@ class ModelInference:
             return num / jnp.clip(den, min=1e-8)
 
         self._cos_sims = jax.jit(cos_sims_fn)
+
+    # ------------------------------------------------------------------
+    def prewarm(self, params, query_counts=(256,), include_flat: bool = False):
+        """AOT-compile this video's inference programs into the persistent
+        XLA cache — no device traffic, no real arrays needed.
+
+        ``params`` may be real arrays or a matching ShapeDtypeStruct tree;
+        ``jit.lower(specs).compile()`` populates the same on-disk compile
+        cache the real dispatches read, so the process that later runs real
+        inference at these shapes (this one or a fresh one) skips every
+        relay compile. Covers the multi-target kernels at every anchor
+        bucket {8, 16, 32, T} and the cos-sims program at the row-quantized
+        ``query_counts`` (the warm-inference probe attributed the 80 s vs
+        30 s first-video gap to exactly these compiles). Returns the labels
+        of the programs built.
+        """
+        as_spec = lambda tree: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), tree)
+        p_spec = as_spec(params)
+        r_spec = as_spec(self.refined_features)
+        v_spec = as_spec(self._view)
+        t = self.refined_features.shape[0]
+        f32, i32 = jnp.float32, jnp.int32
+        built = []
+
+        def compile_(label, jitted, *specs):
+            if self.mesh is not None:
+                with self.mesh:
+                    jitted.lower(*specs).compile()
+            else:
+                jitted.lower(*specs).compile()
+            built.append(label)
+
+        # trajectories use K=T; anchor re-tracking uses the fixed buckets
+        for k in [t] + [b for b in (8, 16, 32) if b < t]:
+            c = self._multi_chunk(k)
+            compile_(f"multi_k{k}_c{c}", self._predict_multi_jit,
+                     p_spec, r_spec, v_spec,
+                     jax.ShapeDtypeStruct((c, 3), f32),
+                     jax.ShapeDtypeStruct((c,), i32),
+                     jax.ShapeDtypeStruct((c, k), i32))
+        for q in query_counts:
+            n32 = -(-int(q) // 32) * 32  # infer() row quantization
+            n_p = -(-n32 // 64) * 64     # cos-sims row quantization
+            compile_(f"cos_sims_n{n_p}", self._cos_sims, r_spec,
+                     jax.ShapeDtypeStruct((n_p * t, 3), f32),
+                     jax.ShapeDtypeStruct((n_p,), i32))
+        if include_flat:
+            compile_(f"flat_c{self.chunk}", self._predict_jit,
+                     p_spec, r_spec, v_spec,
+                     jax.ShapeDtypeStruct((self.chunk, 3), f32),
+                     jax.ShapeDtypeStruct((self.chunk,), i32),
+                     jax.ShapeDtypeStruct((self.chunk,), i32))
+        return built
 
     # ------------------------------------------------------------------
     def _predict_chunked(self, source_points, source_frames, target_frames):

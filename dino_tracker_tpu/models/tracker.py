@@ -95,12 +95,6 @@ def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
     Reference models/tracker.py:113-129 (the 8-frame chunking there is a GPU
     memory workaround; on TPU the whole set is one batched conv).
     """
-    # Frame gathers as flat 2-D row takes: the naive x[frames_set] on the
-    # [T,C,h,w] stack made XLA relayout the FULL resident feature video
-    # (1.66 GB read+write, 5.7 ms/iter in the r4 device trace) before
-    # gathering 8 frames. Flattening to [T, C*h*w] rows (a bitcast) keeps
-    # the gather a pure row DMA; any relayout then happens on the gathered
-    # 8-frame slice only.
     raw = _gather_frames(dino_embed_tchw, frames_set_t)
     frames = _gather_frames(video_tchw, frames_set_t)
     residual, new_dd_stats = dd.apply_delta_dino(
@@ -352,6 +346,20 @@ def forward(params, batch_stats, video_tchw, dino_embed_tchw,
     return coords, ForwardAux(frame_embeddings, raw, new_stats)
 
 
+def make_refine_fn(cfg: TrackerConfig, mesh=None):
+    """The jitted eval-mode refine program used by cache_refined_embeddings
+    (and AOT-prewarmed by runtime.prewarm_inference). Everything enters as
+    arguments (no baked-in constants), and chunk shapes stay static (clamped
+    indices) so there is exactly one compile per (cfg, shapes)."""
+    from ..parallel.mesh import constrain_batch
+
+    return jax.jit(
+        lambda p, bs, v, d, fs: constrain_batch(
+            get_refined_embeddings(p, bs, v, d,
+                                   constrain_batch(fs, mesh), cfg,
+                                   train=False)[0], mesh))
+
+
 def cache_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
                              cfg: TrackerConfig, frames_chunk: int = 16,
                              mesh=None):
@@ -361,17 +369,9 @@ def cache_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
     (reference models/tracker.py:131-135); with ``mesh`` the per-chunk
     DeltaDINO conv batch shards its frame axis over the devices.
     """
-    from ..parallel.mesh import constrain_batch
-
     t = video_tchw.shape[0]
     chunks = []
-    # everything enters as arguments (no baked-in constants), and chunk
-    # shapes stay static (clamped indices) so there is exactly one compile
-    refine = jax.jit(
-        lambda p, bs, v, d, fs: constrain_batch(
-            get_refined_embeddings(p, bs, v, d,
-                                   constrain_batch(fs, mesh), cfg,
-                                   train=False)[0], mesh))
+    refine = make_refine_fn(cfg, mesh)
     n_dev = mesh.devices.size if mesh is not None else 1
     frames_chunk = max(frames_chunk - frames_chunk % n_dev, n_dev)
     for start in range(0, t, frames_chunk):

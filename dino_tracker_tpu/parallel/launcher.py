@@ -106,8 +106,13 @@ class BenchmarkLauncher:
         cfg = TrainConfig.from_yaml(self.train_config_path)
         rt = DINOTrackerRuntime(data_path, cfg)
         if "train" in self.stages:
-            rt.train()
+            rt.train()  # starts the background inference prewarm itself
         if "inference" in self.stages:
+            if "train" not in self.stages:
+                # inference-only fan-out: overlap the AOT compiles with the
+                # video/feature uploads (the refine program is excluded —
+                # the main thread requests it first and would only race)
+                rt.prewarm_inference(include_refine=False)
             rt.infer_benchmark(self.benchmark_pickle_path, video_index)
 
     def run(self, claim_dir: Optional[str] = None):

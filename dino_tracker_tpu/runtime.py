@@ -109,7 +109,8 @@ class DINOTrackerRuntime:
                                     ckpt_folder=self.paths["ckpt_folder"],
                                     seed=self.seed,
                                     bank_rotator=self._rotator,
-                                    mesh=self.mesh)
+                                    mesh=self.mesh,
+                                    after_first_chunk=self.prewarm_inference)
         return trainer.train()
 
     # ------------------------------------------------------------------
@@ -155,6 +156,73 @@ class DINOTrackerRuntime:
                 self.cfg.anchor_cosine_similarity_threshold,
             cosine_similarity_threshold=self.cfg.cosine_similarity_threshold,
             chunk=chunk, mesh=self.mesh)
+
+    # ------------------------------------------------------------------
+    def prewarm_inference(self, query_counts=(256,), background: bool = True,
+                          include_refine: bool = True, chunk: int = 4096):
+        """AOT-compile this video's inference programs into the persistent
+        XLA cache from shape specs alone — no device traffic, no artifact
+        loads beyond an .npz header read.
+
+        Called in a daemon thread during training (runtime.train), so by
+        the time inference runs — later in this process or in a fresh one —
+        every relay compile is a disk-cache hit and video 1 of a benchmark
+        behaves like video N (the warm-inference probe measured 80 s cold
+        vs 30 s warm). Non-fatal on any failure.
+        """
+        def _run():
+            try:
+                feat_path = self.paths["dino_embed_video_path"]
+                if not os.path.exists(feat_path):
+                    logger.info("prewarm: no feature artifact yet at %s; "
+                                "skipping", feat_path)
+                    return
+                (t, c, fh, fw), dino_dtype = video_io.npz_array_header(
+                    feat_path, "features")
+                hp, wp = self.tcfg.feat_hw
+                state_spec = jax.eval_shape(
+                    lambda: train_lib.init_train_state(
+                        jax.random.PRNGKey(0), self.cfg, self.tcfg))
+                spec = jax.ShapeDtypeStruct
+                r_spec = spec((t, c, hp, wp), jnp.float32)
+                mi = ModelInference(
+                    params=state_spec.params, refined_features=r_spec,
+                    cfg=self.tcfg,
+                    anchor_cosine_similarity_threshold=
+                        self.cfg.anchor_cosine_similarity_threshold,
+                    cosine_similarity_threshold=
+                        self.cfg.cosine_similarity_threshold,
+                    chunk=chunk, mesh=self.mesh)
+                built = mi.prewarm(state_spec.params, query_counts)
+                if include_refine:
+                    refine = tracker_lib.make_refine_fn(self.tcfg, self.mesh)
+                    n_dev = self.mesh.devices.size if self.mesh else 1
+                    fchunk = max(16 - 16 % n_dev, n_dev)
+                    specs = (state_spec.params, state_spec.batch_stats,
+                             spec((t, 3, self.cfg.video_resh,
+                                   self.cfg.video_resw), jnp.float32),
+                             spec((t, c, fh, fw), jnp.dtype(dino_dtype)),
+                             spec((fchunk,), jnp.int32))
+                    if self.mesh is not None:
+                        with self.mesh:
+                            refine.lower(*specs).compile()
+                    else:
+                        refine.lower(*specs).compile()
+                    built.append(f"refine_f{fchunk}")
+                logger.info("inference prewarm built %d programs: %s",
+                            len(built), built)
+                return built
+            except Exception:
+                logger.exception("inference prewarm failed (non-fatal)")
+                return None
+
+        if not background:
+            return _run()
+        import threading
+        th = threading.Thread(target=_run, name="inference-prewarm",
+                              daemon=True)
+        th.start()
+        return th
 
     # ------------------------------------------------------------------
     def infer_benchmark(self, benchmark_pickle_path: str, video_id: int,

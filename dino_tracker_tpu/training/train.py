@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,6 +202,10 @@ class Trainer:
     seed: int = 2
     bank_rotator: Optional[object] = None  # sampler.BankRotator for long videos
     mesh: Optional[object] = None  # jax.sharding.Mesh: shard batch over chips
+    # called once, after the first step chunk returns (i.e. after the train
+    # step finished compiling) — the runtime hangs the background inference
+    # prewarm here so its relay compiles never contend with the train step's
+    after_first_chunk: Optional[Callable[[], None]] = None
 
     def __post_init__(self):
         self._steps = {}
@@ -267,6 +271,9 @@ class Trainer:
                     state, metrics = step(state, self.data, sub)
             else:
                 state, metrics = step(state, self.data, sub)
+            if self.after_first_chunk is not None:
+                cb, self.after_first_chunk = self.after_first_chunk, None
+                cb()
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + v * n
             running_n += n

@@ -155,6 +155,21 @@ def save_npz(path: str, **arrays):
     np.savez(path, **arrays)
 
 
+def npz_array_header(path: str, name: str):
+    """(shape, dtype) of one array inside an .npz WITHOUT decompressing its
+    data — reads just the .npy header bytes. Used by the inference prewarm
+    to learn a video's feature shapes before any heavy load."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open(name + ".npy") as f:
+            version = npf.read_magic(f)
+            shape, _, dtype = npf._read_array_header(f, version)
+    return shape, dtype
+
+
 def load_npz(path: str) -> dict:
     with np.load(path, allow_pickle=False) as f:
         return {k: f[k] for k in f.files}

@@ -131,6 +131,11 @@ def test_train_infer_eval_cycle(pipeline_dir, tmp_path):
     rt.tcfg = dataclasses.replace(rt.tcfg, delta_channels=(3, 4, 4, 4, 16))
     state = rt.train()
     assert int(state.step) == 4
+    # the runtime's spec-only inference prewarm must build real programs
+    # from the on-disk artifacts (train() fires it in a daemon thread where
+    # failures are non-fatal; run it synchronously to assert it works)
+    built = rt.prewarm_inference(background=False, query_counts=(3,))
+    assert built is not None and any(b.startswith("refine_") for b in built)
     paths = add_config_paths(pipeline_dir)
     assert os.path.exists(os.path.join(paths["ckpt_folder"],
                                        "state_4.msgpack"))

@@ -35,6 +35,28 @@ def test_infer_shapes_and_finite():
     assert np.isfinite(trajs).all()
 
 
+def test_prewarm_spec_mode_builds_real_program_shapes():
+    """Spec-mode ModelInference (refined_features as a ShapeDtypeStruct)
+    makes the same chunking decisions as a real same-shape instance and
+    AOT-compiles its programs without any device arrays — the mechanism
+    runtime.prewarm_inference uses to fill the persistent compile cache
+    during training."""
+    mi, tcfg = make_inference()
+    t = mi.refined_features.shape[0]
+    spec = jax.ShapeDtypeStruct(tuple(mi.refined_features.shape), jnp.float32)
+    mi_spec = ModelInference(params=mi.params, refined_features=spec,
+                             cfg=tcfg,
+                             anchor_cosine_similarity_threshold=0.7,
+                             cosine_similarity_threshold=0.6, chunk=64)
+    assert mi_spec.chunk == mi.chunk  # same HBM-budget chunking
+    built = mi_spec.prewarm(mi.params, query_counts=(2,), include_flat=True)
+    assert f"multi_k{t}_c{mi_spec._multi_chunk(t)}" in built
+    assert "cos_sims_n64" in built  # 2 queries → 32-pad → 64-pad
+    assert f"flat_c{mi_spec.chunk}" in built
+    # t=5 < every fixed bucket, so no bucket variants at this scale
+    assert len(built) == 3
+
+
 def test_static_scene_tracks_stay_near_query():
     """With per-position features constant over time, the correlation argmax
     is the query's own patch in every frame; predictions should stay within
