@@ -45,7 +45,10 @@ def synthetic_video_data_on_device(t, tcfg, c=1024, bb_cap=512, n_traj=20000):
     @jax.jit
     def big():
         video = jax.random.uniform(kv, (t, 3, h, w), jnp.float32)
-        dino = jax.random.normal(kd, (t, c, hp, wp), jnp.float32)
+        # f16: the production resident stack keeps the artifact dtype
+        # (runtime.load_video_data); the step upcasts per gathered frame set
+        dino = jax.random.normal(kd, (t, c, hp, wp), jnp.float32).astype(
+            jnp.float16)
         fg = (jax.random.uniform(km, (t, h, w)) < 0.3).astype(jnp.float32)
         return video, dino, fg
 

@@ -98,11 +98,39 @@ def align_cnn_vit_features(vit_hw: Tuple[int, int], cnn_features_nchw,
                       preferred_element_type=jnp.float32)
 
 
+def align_cnn_vit_features_nhwc(vit_hw: Tuple[int, int], cnn_features_nhwc,
+                                vit_patch_size: int = 14, vit_stride: int = 7,
+                                cnn_stride: int = 8):
+    """Channels-last twin of :func:`align_cnn_vit_features` (same grid math,
+    same dense separable matmuls) for the NHWC residual path — keeping C on
+    the minor axis gives the two contractions clean [out,in]×[in, ...·C]
+    GEMM shapes and skips the NHWC→NCHW transpose of the refiner output."""
+    import numpy as np
+    vh, vw = vit_hw
+    ch, cw = cnn_features_nhwc.shape[1:3]
+    c_br = [(ch - 1) * cnn_stride, (cw - 1) * cnn_stride]
+    vit_x = np.arange(vw, dtype=np.float64) * vit_stride + vit_patch_size / 2.0
+    vit_y = np.arange(vh, dtype=np.float64) * vit_stride + vit_patch_size / 2.0
+    gx = -1.0 - (1.0 / c_br[1]) + (2.0 * vit_x / c_br[1])
+    gy = -1.0 - (1.0 / c_br[0]) + (2.0 * vit_y / c_br[0])
+    wy = jnp.asarray(_bilinear_axis_matrix(gy, ch))  # vh×ch
+    wx = jnp.asarray(_bilinear_axis_matrix(gx, cw))  # vw×cw
+    out = jnp.einsum("oh,nhwc->nowc", wy, cnn_features_nhwc,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,nowc->nopc", wx, out,
+                      preferred_element_type=jnp.float32)
+
+
 def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
                      train: bool, vit_stride: int = 7, vit_patch_size: int = 14,
                      compute_dtype=jnp.float32, bias_stopgrad: bool = True,
-                     reflect_vjp: bool = True, blurpool_impl: str = "matmul"):
-    """frames: N×3×H×W in [0,1] -> residual features N×C×vh×vw.
+                     reflect_vjp: bool = True, blurpool_impl: str = "matmul",
+                     channels_last: bool = False):
+    """frames: N×3×H×W in [0,1] -> residual features N×C×vh×vw (or
+    N×vh×vw×C with ``channels_last`` — the TPU-native layout the train step
+    uses: the conv stack already runs NHWC internally, so channels-last
+    output skips the final transpose and keeps every downstream consumer
+    (gathers, correlations, trilinear sampling) on C-minor tiles).
 
     Returns (residual, new_batch_stats). With compute_dtype=bfloat16 the conv
     inputs/weights run on the MXU in bf16 with f32 accumulation; batch-norm
@@ -140,7 +168,11 @@ def apply_delta_dino(params, batch_stats, frames_nchw, vit_hw: Tuple[int, int],
             x = jax.nn.relu(x)
         if DOWNSAMPLE[i]:
             x = nn.blurpool(x, stride=DOWN_STRIDE, impl=blurpool_impl)
-    x = nn.nhwc_to_nchw(x)
-    x = align_cnn_vit_features(vit_hw, x, vit_patch_size, vit_stride,
-                               cnn_stride=total_stride())
+    if channels_last:
+        x = align_cnn_vit_features_nhwc(vit_hw, x, vit_patch_size, vit_stride,
+                                        cnn_stride=total_stride())
+    else:
+        x = nn.nhwc_to_nchw(x)
+        x = align_cnn_vit_features(vit_hw, x, vit_patch_size, vit_stride,
+                                   cnn_stride=total_stride())
     return x, {"layers": new_stats}

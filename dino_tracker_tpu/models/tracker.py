@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from . import delta_dino as dd
 from . import tracker_head as th
 from ..utils import coords as coord_utils
-from ..utils.sampling import sample_feature_video
+from ..utils.sampling import sample_feature_video, sample_feature_video_thwc
 from ..config import feature_grid_size
 
 EPS = 1e-8
@@ -88,29 +88,45 @@ def _gather_frames(x_tchw, frames_set_t):
 
 
 def get_refined_embeddings(params, batch_stats, video_tchw, dino_embed_tchw,
-                           frames_set_t, cfg: TrackerConfig, train: bool):
+                           frames_set_t, cfg: TrackerConfig, train: bool,
+                           channels_last: bool = False):
     """Refined = raw DINO + DeltaDINO residual for the frame set.
 
     Returns (refined N×C×h'×w', residual, raw, new_batch_stats).
     Reference models/tracker.py:113-129 (the 8-frame chunking there is a GPU
     memory workaround; on TPU the whole set is one batched conv).
+
+    With ``channels_last`` the feature stack enters as T×h'×w'×C and every
+    output is N×h'×w'×C — the train step's layout: the DeltaDINO conv stack
+    already runs NHWC internally, the frame gather stays a row DMA, and the
+    downstream correlations/sampling keep C on the minor (lane) axis.
     """
-    raw = _gather_frames(dino_embed_tchw, frames_set_t)
+    # The resident feature stack may be f16 (the artifact dtype; 1.66 GB at
+    # production scale as f32, halved as f16) — the gathered 8-frame slice
+    # upcasts here, exactly where the old f32-at-load pipeline ended up.
+    raw = _gather_frames(dino_embed_tchw, frames_set_t).astype(jnp.float32)
     frames = _gather_frames(video_tchw, frames_set_t)
     residual, new_dd_stats = dd.apply_delta_dino(
         params["delta_dino"], batch_stats["delta_dino"], frames, cfg.feat_hw,
         train=train, vit_stride=cfg.stride, vit_patch_size=cfg.dino_patch_size,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         bias_stopgrad=cfg.bias_stopgrad, reflect_vjp=cfg.reflect_pad_vjp,
-        blurpool_impl=cfg.blurpool_impl)
+        blurpool_impl=cfg.blurpool_impl, channels_last=channels_last)
     refined = raw + residual
     return refined, residual, raw, {"delta_dino": new_dd_stats}
 
 
-def sample_embeddings(embeddings_nchw, points_b3):
+def sample_embeddings(embeddings, points_b3, channels_last: bool = False):
     """Trilinear-sample the embedded frame set at B (x_norm, y_norm,
-    frame_idx) points -> B×C (reference models/tracker.py:96-111)."""
-    return sample_feature_video(embeddings_nchw, points_b3, normalize_t=True)
+    frame_idx) points -> B×C (reference models/tracker.py:96-111).
+
+    ``channels_last``: embeddings are N×h×w×C and the sampling runs as row
+    gathers on (N·h·w)×C (the TPU-friendly direction) instead of lane
+    gathers on a transposed C×(N·h·w) view."""
+    if channels_last:
+        return sample_feature_video_thwc(embeddings, points_b3,
+                                         normalize_t=True)
+    return sample_feature_video(embeddings, points_b3, normalize_t=True)
 
 
 class FrameView(NamedTuple):
@@ -123,32 +139,50 @@ class FrameView(NamedTuple):
     shape that stack is 265 MB, so the redundant passes are pure HBM
     bandwidth. Build once per step with :func:`make_frame_view` and thread
     through ``view=``.
+
+    Layout is channels-MINOR ([N, hw, C]): C=1024 fills the TPU's 128-lane
+    registers, frame/position slabs are row slices, and every correlation
+    einsum contracts the minor axis of both operands (the natural MXU GEMM).
     """
-    flat_cd: jnp.ndarray  # N×C×(h'·w'), compute dtype
+    flat_cd: jnp.ndarray  # N×(h'·w')×C, compute dtype
     norms: jnp.ndarray    # N×(h'·w'), f32
 
 
-def make_frame_view(frame_embeddings_nchw, compute_dtype=jnp.float32
-                    ) -> FrameView:
-    n, c, h, w = frame_embeddings_nchw.shape
-    flat = frame_embeddings_nchw.reshape(n, c, h * w)
+def make_frame_view(frame_embeddings, compute_dtype=jnp.float32,
+                    channels_last: bool = False) -> FrameView:
+    """Build the shared view from an N×C×h×w stack (default) or an
+    N×h×w×C one (``channels_last`` — a free reshape, no transpose)."""
+    if channels_last:
+        n, h, w, c = frame_embeddings.shape
+        flat = frame_embeddings.reshape(n, h * w, c)
+    else:
+        n, c, h, w = frame_embeddings.shape
+        flat = frame_embeddings.reshape(n, c, h * w).transpose(0, 2, 1)
     return FrameView(flat.astype(compute_dtype),
-                     jnp.linalg.norm(flat, axis=1))
+                     jnp.linalg.norm(flat, axis=2))
 
 
-def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
+def _frame_hw(frame_embeddings, channels_last: bool):
+    if channels_last:
+        return frame_embeddings.shape[1], frame_embeddings.shape[2]
+    return frame_embeddings.shape[2], frame_embeddings.shape[3]
+
+
+def get_corr_maps(source_embeddings_bc, frame_embeddings,
                   target_frame_indices_b, compute_dtype=jnp.float32,
-                  view: Optional[FrameView] = None):
+                  view: Optional[FrameView] = None,
+                  channels_last: bool = False):
     """Cosine correlation of each source embedding against its target frame.
 
     Computes the full B×N map stack as one MXU matmul then selects the target
     row (cheaper than gathering B full frames). Reference
     models/tracker.py:158-169.
     """
-    n, c, h, w = frame_embeddings_nchw.shape
+    n = frame_embeddings.shape[0]
+    h, w = _frame_hw(frame_embeddings, channels_last)
     if view is None:
-        view = make_frame_view(frame_embeddings_nchw, compute_dtype)
-    corr_all = jnp.einsum("bc,nck->bnk",
+        view = make_frame_view(frame_embeddings, compute_dtype, channels_last)
+    corr_all = jnp.einsum("bc,nkc->bnk",
                           source_embeddings_bc.astype(view.flat_cd.dtype),
                           view.flat_cd,
                           preferred_element_type=jnp.float32)  # B×N×(hw)
@@ -167,11 +201,12 @@ def get_corr_maps(source_embeddings_bc, frame_embeddings_nchw,
 def get_point_predictions_from_embeddings(params, source_embeddings,
                                           frame_embeddings, target_frame_indices,
                                           cfg: TrackerConfig,
-                                          view: Optional[FrameView] = None):
+                                          view: Optional[FrameView] = None,
+                                          channels_last: bool = False):
     corr_maps = get_corr_maps(source_embeddings, frame_embeddings,
                               target_frame_indices,
                               compute_dtype=jnp.dtype(cfg.compute_dtype),
-                              view=view)
+                              view=view, channels_last=channels_last)
     corr_maps = jax.nn.relu(corr_maps)
     return th.apply_tracker_head(params["tracker_head"], corr_maps,
                                  (cfg.video_h, cfg.video_w),
@@ -181,24 +216,25 @@ def get_point_predictions_from_embeddings(params, source_embeddings,
 
 def get_point_predictions(params, inp: TrackerInput, frame_embeddings,
                           cfg: TrackerConfig,
-                          view: Optional[FrameView] = None):
+                          view: Optional[FrameView] = None,
+                          channels_last: bool = False):
     """source points (pixel x, y, ·) -> predicted target coords in (-1, 1)."""
     pts = coord_utils.normalize_points_for_sampling(
         inp.source_points, cfg.video_h, cfg.video_w, cfg.dino_patch_size,
         cfg.stride)
     pts = jnp.concatenate(
         [pts[:, :2], inp.source_frame_indices[:, None].astype(pts.dtype)], axis=1)
-    source_embeddings = sample_embeddings(frame_embeddings, pts)
+    source_embeddings = sample_embeddings(frame_embeddings, pts, channels_last)
     return get_point_predictions_from_embeddings(
         params, source_embeddings, frame_embeddings, inp.target_frame_indices,
-        cfg, view=view)
+        cfg, view=view, channels_last=channels_last)
 
 
 def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
                                   target_frame_idx_g, frame_embeddings,
                                   cfg: TrackerConfig,
                                   view: Optional[FrameView] = None,
-                                  mesh=None):
+                                  mesh=None, channels_last: bool = False):
     """Blocked prediction: group g's P points all live on frame
     ``source_frame_idx_g[g]`` and re-predict onto ``target_frame_idx_g[g]``.
 
@@ -219,21 +255,27 @@ def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
     from ..parallel.mesh import constrain_axis
 
     g, p, _ = points_gp3.shape
-    n, c, h, w = frame_embeddings.shape
+    n = frame_embeddings.shape[0]
+    h, w = _frame_hw(frame_embeddings, channels_last)
+    c = view.flat_cd.shape[-1] if view is not None else (
+        frame_embeddings.shape[-1] if channels_last
+        else frame_embeddings.shape[1])
     if view is None:
-        view = make_frame_view(frame_embeddings, jnp.dtype(cfg.compute_dtype))
+        view = make_frame_view(frame_embeddings, jnp.dtype(cfg.compute_dtype),
+                               channels_last)
 
     pts = coord_utils.normalize_points_for_sampling(
         points_gp3.reshape(g * p, 3), cfg.video_h, cfg.video_w,
         cfg.dino_patch_size, cfg.stride)
     src_frames = jnp.repeat(source_frame_idx_g, p).astype(pts.dtype)
     pts = jnp.concatenate([pts[:, :2], src_frames[:, None]], axis=1)
-    src_f = sample_embeddings(frame_embeddings, pts).reshape(g, p, c)
+    src_f = sample_embeddings(frame_embeddings, pts,
+                              channels_last).reshape(g, p, c)
     src_f = constrain_axis(src_f, mesh, 1)
 
     tgt = target_frame_idx_g.astype(jnp.int32)
-    tgt_flat = jnp.take(view.flat_cd, tgt, axis=0)   # G×C×hw
-    corr = jnp.einsum("gpc,gck->gpk", src_f.astype(view.flat_cd.dtype),
+    tgt_flat = jnp.take(view.flat_cd, tgt, axis=0)   # G×hw×C
+    corr = jnp.einsum("gpc,gkc->gpk", src_f.astype(view.flat_cd.dtype),
                       tgt_flat, preferred_element_type=jnp.float32)
     tgt_norms = jnp.take(view.norms, tgt, axis=0)    # G×hw
     src_norms = jnp.linalg.norm(src_f, axis=2)       # G×P
@@ -263,7 +305,8 @@ def get_point_predictions_grouped(params, points_gp3, source_frame_idx_g,
 def get_point_predictions_multi_target(params, source_points_b3,
                                        source_frame_idx_b, target_frames_bk,
                                        frame_embeddings, cfg: TrackerConfig,
-                                       view: Optional[FrameView] = None):
+                                       view: Optional[FrameView] = None,
+                                       channels_last: bool = False):
     """One source point → K target frames, sharing one correlation pass.
 
     The flat path (``get_point_predictions``) carries one (source, target)
@@ -283,17 +326,19 @@ def get_point_predictions_multi_target(params, source_points_b3,
     Returns B×K×2 coords in (-1, 1).
     """
     b, k = target_frames_bk.shape
-    n, c, h, w = frame_embeddings.shape
+    n = frame_embeddings.shape[0]
+    h, w = _frame_hw(frame_embeddings, channels_last)
     if view is None:
-        view = make_frame_view(frame_embeddings, jnp.dtype(cfg.compute_dtype))
+        view = make_frame_view(frame_embeddings, jnp.dtype(cfg.compute_dtype),
+                               channels_last)
 
     pts = coord_utils.normalize_points_for_sampling(
         source_points_b3, cfg.video_h, cfg.video_w, cfg.dino_patch_size,
         cfg.stride)
     pts = jnp.concatenate(
         [pts[:, :2], source_frame_idx_b[:, None].astype(pts.dtype)], axis=1)
-    src = sample_embeddings(frame_embeddings, pts)  # B×C
-    corr_all = jnp.einsum("bc,nck->bnk", src.astype(view.flat_cd.dtype),
+    src = sample_embeddings(frame_embeddings, pts, channels_last)  # B×C
+    corr_all = jnp.einsum("bc,nkc->bnk", src.astype(view.flat_cd.dtype),
                           view.flat_cd,
                           preferred_element_type=jnp.float32)  # B×N×hw
     src_norms = jnp.linalg.norm(src, axis=1)  # B
@@ -331,12 +376,12 @@ def forward(params, batch_stats, video_tchw, dino_embed_tchw,
     ``self.frame_embeddings`` side-channel) so loss terms stay pure.
     """
     if use_raw_features:
-        raw = dino_embed_tchw[inp.frames_set_t]
+        raw = dino_embed_tchw[inp.frames_set_t].astype(jnp.float32)
         frame_embeddings = raw
         new_stats = batch_stats
     elif refined_cache is not None:
         frame_embeddings = refined_cache[inp.frames_set_t]
-        raw = dino_embed_tchw[inp.frames_set_t]
+        raw = dino_embed_tchw[inp.frames_set_t].astype(jnp.float32)
         new_stats = batch_stats
     else:
         frame_embeddings, _, raw, new_stats = get_refined_embeddings(

@@ -61,9 +61,12 @@ class DINOTrackerRuntime:
     def load_video_data(self) -> train_lib.VideoData:
         if self._data is not None:
             return self._data
-        dino = video_io.load_npz(
-            self.paths["dino_embed_video_path"])["features"].astype(
-            np.float32, copy=False)  # f16 on-disk option upcasts here
+        # Kept at the artifact's dtype (f16 by default): the resident stack
+        # only ever feeds the per-step 8-frame gather, which upcasts its
+        # output to f32 — resident f16 is numerically IDENTICAL to upcasting
+        # here (f16→f32 is exact) while halving the 1.66 GB stack's HBM
+        # footprint and the gather's read traffic.
+        dino = video_io.load_npz(self.paths["dino_embed_video_path"])["features"]
         want = self.tcfg.delta_channels[-1]
         if dino.shape[1] != want:
             raise ValueError(

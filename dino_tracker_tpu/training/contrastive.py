@@ -33,13 +33,13 @@ EPS = 1e-8
 
 
 def _sample_embeddings_at(frame_embeddings, coords_xy, frame_set_idx,
-                          cfg: TrackerConfig):
+                          cfg: TrackerConfig, channels_last: bool = False):
     """Trilinear-sample refined embeddings at pixel coords on frame-set index."""
     pts = jnp.concatenate([coords_xy,
                            frame_set_idx[:, None].astype(jnp.float32)], axis=1)
     pts = coord_utils.normalize_points_for_sampling(
         pts, cfg.video_h, cfg.video_w, cfg.dino_patch_size, cfg.stride)
-    return tracker.sample_embeddings(frame_embeddings, pts)
+    return tracker.sample_embeddings(frame_embeddings, pts, channels_last)
 
 
 def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
@@ -47,7 +47,8 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
                              n_pairs: int, points_per_pair: int,
                              fg_points_ratio: float, temp: float,
                              cl_div: float, sig_a: float, sig_b: float,
-                             view=None, pair_sel=None):
+                             view=None, pair_sel=None,
+                             channels_last: bool = False):
     """Reference dino_tracker.py:159-243. Returns a scalar loss.
 
     ``pair_sel``: optional (src_sel, tgt_sel) int arrays overriding the
@@ -59,7 +60,8 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
     n_bg = points_per_pair - n_fg
     if view is None:
         view = tracker.make_frame_view(frame_embeddings,
-                                       jnp.dtype(cfg.compute_dtype))
+                                       jnp.dtype(cfg.compute_dtype),
+                                       channels_last)
 
     k_src, k_tgt, k_sel = jax.random.split(key, 3)
     if pair_sel is not None:
@@ -104,13 +106,15 @@ def dino_bb_contrastive_loss(key, frame_embeddings, frames_set_t, bb: BBData,
     # batching all P·k points turns that into one scatter
     src_f = _sample_embeddings_at(
         frame_embeddings, sxy.reshape(-1, 2),
-        jnp.repeat(src_sel, kk), cfg).reshape(n_pairs, kk, -1)
+        jnp.repeat(src_sel, kk), cfg,
+        channels_last).reshape(n_pairs, kk, -1)
     tgt_f = _sample_embeddings_at(
         frame_embeddings, txy.reshape(-1, 2),
-        jnp.repeat(tgt_sel, kk), cfg).reshape(n_pairs, kk, -1)
+        jnp.repeat(tgt_sel, kk), cfg,
+        channels_last).reshape(n_pairs, kk, -1)
 
     def pair_loss(src_f_k, tgt_f_k, src_idx, tgt_idx, wmask_k):
-        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_nc(
             src_f_k, tgt_f_k, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
             view.norms[src_idx], view.norms[tgt_idx], temp)
         return jnp.sum((cl1 + cl2) * wmask_k)
@@ -124,20 +128,25 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
                                 fg_masks_thw, cfg: TrackerConfig,
                                 n_pairs: int, points_per_pair: int,
                                 fg_points_ratio: float, temp: float,
-                                cl_div: float, view=None, pair_sel=None):
+                                cl_div: float, view=None, pair_sel=None,
+                                channels_last: bool = False):
     """Reference dino_tracker.py:245-330. Buddies mined on-the-fly from the
     refined features (affinity under stop_gradient, like torch.no_grad).
 
     ``pair_sel``: optional (src_sel, tgt_sel) frame-draw override for the
     reference-code golden oracle (see dino_bb_contrastive_loss)."""
     set_size = frames_set_t.shape[0]
-    s, c, hp, wp = frame_embeddings.shape
+    if channels_last:
+        s, hp, wp, c = frame_embeddings.shape
+    else:
+        s, c, hp, wp = frame_embeddings.shape
     n = hp * wp
     n_fg = int(points_per_pair * fg_points_ratio)
     n_bg = points_per_pair - n_fg
     if view is None:
         view = tracker.make_frame_view(frame_embeddings,
-                                       jnp.dtype(cfg.compute_dtype))
+                                       jnp.dtype(cfg.compute_dtype),
+                                       channels_last)
 
     feat_grid = coord_utils.vit_feature_coords(cfg.video_h, cfg.video_w,
                                                cfg.stride, cfg.dino_patch_size)
@@ -151,23 +160,22 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
         src_sel = jax.random.randint(k_src, (n_pairs,), 0, set_size)
         tgt_sel = jax.random.randint(k_tgt, (n_pairs,), 0, set_size)
 
-    flat = frame_embeddings.reshape(s, c, n)
     flat_sg = jax.lax.stop_gradient(view.flat_cd)
     norms_sg = jax.lax.stop_gradient(view.norms)
-    # pre-normalize the c×n slabs (16 MB/frame) so the einsum output IS the
+    # pre-normalize the n×c slabs (16 MB/frame) so the einsum output IS the
     # cosine affinity — normalizing the n×n f32 map afterwards re-read and
     # re-wrote ~263 MB per pair (the measured cl_ref dominator). Row/column
     # scaling by positive norms preserves both argmaxes, so the mutual-NN
     # set is unchanged; the reference's exact EPS-clamped weight values are
     # recomputed below from the selected columns only.
-    unit_sg = flat_sg / jnp.clip(norms_sg[:, None, :], min=EPS).astype(
+    unit_sg = flat_sg / jnp.clip(norms_sg[:, :, None], min=EPS).astype(
         flat_sg.dtype)
 
     def pair_mine(k, src_idx, tgt_idx):
         """Per-pair buddy mining + subset selection — no gradient paths
         (the affinity runs on the stop-gradient unit slabs)."""
         # n×n cosine affinity on the (no-grad) unit compute-dtype slabs
-        aff = jnp.einsum("cn,cm->nm", unit_sg[src_idx], unit_sg[tgt_idx],
+        aff = jnp.einsum("nc,mc->nm", unit_sg[src_idx], unit_sg[tgt_idx],
                          preferred_element_type=jnp.float32)
         src_is_bb, tgt_of_src = losses.mutual_nn(aff)
 
@@ -190,10 +198,15 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
     # `flat[src_idx][:, sel_src].T` made the backward materialize a full
     # f32 c×n gradient plane per pair and dynamic-update-slice it into the
     # 265 MB (s,c,n) stack — 18.3 ms/iter, the single largest non-conv
-    # line in the r4 device trace. Gathering all P·k columns from one
-    # (s·n, c) view costs two 265 MB layout passes + one sparse row
-    # scatter-add in the backward.
-    flat_snc = jnp.moveaxis(flat, 1, 2).reshape(s * n, c)
+    # line in the r4 device trace. Gathering all P·k rows from one
+    # (s·n, c) view costs one sparse row scatter-add in the backward —
+    # and with channels_last the (s·n, c) view is a FREE reshape (the r5
+    # trace still charged 3.4 ms/iter for the channels-first moveaxis).
+    if channels_last:
+        flat_snc = frame_embeddings.reshape(s * n, c)
+    else:
+        flat_snc = jnp.moveaxis(frame_embeddings.reshape(s, c, n), 1,
+                                2).reshape(s * n, c)
     kk = sel_src.shape[1]
     src_f = jnp.take(flat_snc, (src_sel[:, None] * n + sel_src).reshape(-1),
                      axis=0).reshape(n_pairs, kk, c)
@@ -202,7 +215,7 @@ def refined_bb_contrastive_loss(key, frame_embeddings, frames_set_t,
 
     def pair_loss(src_f_k, tgt_f_k, src_idx, tgt_idx, sel_src_k, sel_tgt_k,
                   sel_valid_k):
-        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_nc(
             src_f_k, tgt_f_k, view.flat_cd[src_idx], view.flat_cd[tgt_idx],
             view.norms[src_idx], view.norms[tgt_idx], temp)
         # selected-pair cosines with the reference's exact EPS-clamped

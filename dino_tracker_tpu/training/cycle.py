@@ -37,7 +37,8 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
                         fg_masks_thw, cfg: TrackerConfig,
                         n_pairs: int, points_per_pair: int,
                         fg_ratio: float, thresh: float,
-                        view=None, mesh=None) -> CycleData:
+                        view=None, mesh=None,
+                        channels_last: bool = False) -> CycleData:
     """No-grad sampling + cycle filtering. All outputs are stop-gradiented."""
     set_size = frames_set_t.shape[0]
     h, w = fg_masks_thw.shape[-2:]
@@ -74,7 +75,8 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
 
     emb = jax.lax.stop_gradient(frame_embeddings)
     if view is None:
-        view = tracker.make_frame_view(emb, jnp.dtype(cfg.compute_dtype))
+        view = tracker.make_frame_view(emb, jnp.dtype(cfg.compute_dtype),
+                                       channels_last)
     else:
         view = jax.tree.map(jax.lax.stop_gradient, view)
 
@@ -84,7 +86,7 @@ def generate_cycle_data(key, params, frame_embeddings, frames_set_t,
         # vs the flat all-frames+select path)
         out = tracker.get_point_predictions_grouped(
             params, points_g, s_idx_g, t_idx_g, emb, cfg, view=view,
-            mesh=mesh)
+            mesh=mesh, channels_last=channels_last)
         # (-1,1) -> pixel
         scale = jnp.asarray([cfg.video_w - 1, cfg.video_h - 1], jnp.float32)
         return (out + 1.0) * 0.5 * scale
@@ -144,7 +146,8 @@ def cycle_loss_from_preds(both_preds, data: CycleData, cfg: TrackerConfig,
 def cycle_consistency_loss(params, frame_embeddings, frames_set_t,
                            data: CycleData, cfg: TrackerConfig,
                            gamma: float, huber_delta: float = 1.0 / 32.0,
-                           view=None, group_size: int = 0, mesh=None):
+                           view=None, group_size: int = 0, mesh=None,
+                           channels_last: bool = False):
     """Graded re-prediction of both directions, γ^dist-weighted Huber to the
     (constant) cycle-filtered endpoints (reference dino_tracker.py:346-353).
 
@@ -163,9 +166,10 @@ def cycle_consistency_loss(params, frame_embeddings, frames_set_t,
             params, jnp.concatenate([sp, tp], axis=0),
             jnp.concatenate([src_g, tgt_g]),
             jnp.concatenate([tgt_g, src_g]),
-            frame_embeddings, cfg, view=view, mesh=mesh).reshape(2 * p, 2)
+            frame_embeddings, cfg, view=view, mesh=mesh,
+            channels_last=channels_last).reshape(2 * p, 2)
     else:
         both = tracker.get_point_predictions(
             params, cycle_inputs(data, frames_set_t), frame_embeddings, cfg,
-            view=view)
+            view=view, channels_last=channels_last)
     return cycle_loss_from_preds(both, data, cfg, gamma, huber_delta)

@@ -75,26 +75,28 @@ def bb_pairs_contrastive_loss(source_bb_f, target_bb_f, source_f, target_f,
     source_bb_f/target_bb_f: B×C sampled buddy features; source_f/target_f:
     n×C full frame features. Returns (loss_s→t [B], loss_t→s [B]).
     """
-    return bb_pairs_contrastive_loss_cn(
-        source_bb_f, target_bb_f, source_f.T, target_f.T,
+    return bb_pairs_contrastive_loss_nc(
+        source_bb_f, target_bb_f, source_f, target_f,
         jnp.linalg.norm(source_f, axis=1), jnp.linalg.norm(target_f, axis=1),
         temp)
 
 
-def bb_pairs_contrastive_loss_cn(source_bb_f, target_bb_f, source_f_cn,
-                                 target_f_cn, source_norms_n, target_norms_n,
+def bb_pairs_contrastive_loss_nc(source_bb_f, target_bb_f, source_f_nc,
+                                 target_f_nc, source_norms_n, target_norms_n,
                                  temp: float = 0.5):
-    """``bb_pairs_contrastive_loss`` over C×n frame slabs with precomputed
-    per-position norms (a tracker.FrameView row) — lets the train step reuse
-    one cast+norm pass of the 265 MB refined stack across all loss terms.
-    The frame einsums run in the slab's dtype (the step's compute dtype,
-    matching the corr-map einsum policy); accumulation stays f32."""
+    """``bb_pairs_contrastive_loss`` over n×C frame slabs (channels-minor,
+    a tracker.FrameView row) with precomputed per-position norms — lets the
+    train step reuse one cast+norm pass of the 265 MB refined stack across
+    all loss terms, and contracts the minor axis of both operands (the
+    natural MXU GEMM). The frame einsums run in the slab's dtype (the
+    step's compute dtype, matching the corr-map einsum policy);
+    accumulation stays f32."""
     bb_corrs = jnp.einsum("bc,bc->b", source_bb_f, target_bb_f,
                           preferred_element_type=jnp.float32)
-    cd = source_f_cn.dtype
-    st = jnp.einsum("bc,cn->bn", source_bb_f.astype(cd), target_f_cn,
+    cd = source_f_nc.dtype
+    st = jnp.einsum("bc,nc->bn", source_bb_f.astype(cd), target_f_nc,
                     preferred_element_type=jnp.float32)
-    ts = jnp.einsum("bc,cn->bn", target_bb_f.astype(cd), source_f_cn,
+    ts = jnp.einsum("bc,nc->bn", target_bb_f.astype(cd), source_f_nc,
                     preferred_element_type=jnp.float32)
     sn = jnp.linalg.norm(source_bb_f, axis=1)
     tn = jnp.linalg.norm(target_bb_f, axis=1)
@@ -107,20 +109,24 @@ def bb_pairs_contrastive_loss_cn(source_bb_f, target_bb_f, source_f_cn,
     return loss_st, loss_ts
 
 
-def emb_norm_regularization(frame_embeddings, raw_embeddings):
+def emb_norm_regularization(frame_embeddings, raw_embeddings,
+                            channels_last: bool = False):
     """mean |‖refined‖/‖raw‖ − 1| (reference dino_tracker.py:136-140)."""
-    rn = jnp.linalg.norm(frame_embeddings, axis=1)
-    dn = jnp.linalg.norm(raw_embeddings, axis=1)
+    axis = -1 if channels_last else 1
+    rn = jnp.linalg.norm(frame_embeddings, axis=axis)
+    dn = jnp.linalg.norm(raw_embeddings, axis=axis)
     return jnp.mean(jnp.abs(rn / dn - 1.0))
 
 
-def emb_angle_regularization(frame_embeddings, raw_embeddings):
+def emb_angle_regularization(frame_embeddings, raw_embeddings,
+                             channels_last: bool = False):
     """mean |cos(refined, raw) − 1| (reference dino_tracker.py:142-146,
     models/utils.py:79-84)."""
-    dot = jnp.einsum("bchw,bchw->bhw", frame_embeddings, raw_embeddings,
-                     preferred_element_type=jnp.float32)
-    rn = jnp.linalg.norm(frame_embeddings, axis=1)
-    dn = jnp.linalg.norm(raw_embeddings, axis=1)
+    axis = -1 if channels_last else 1
+    dot = jnp.sum(frame_embeddings * raw_embeddings, axis=axis,
+                  dtype=jnp.float32)
+    rn = jnp.linalg.norm(frame_embeddings, axis=axis)
+    dn = jnp.linalg.norm(raw_embeddings, axis=axis)
     cos = dot / (rn * dn)
     return jnp.mean(jnp.abs(cos - 1.0))
 

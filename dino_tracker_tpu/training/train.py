@@ -47,7 +47,8 @@ class TrainState(NamedTuple):
 class VideoData(NamedTuple):
     """Per-video device-resident training data."""
     video: jnp.ndarray        # T×3×H×W float32 [0,1]
-    dino_embed: jnp.ndarray   # T×C×h'×w' float32
+    dino_embed: jnp.ndarray   # T×C×h'×w', f16 (artifact dtype) or f32;
+                              # upcast to f32 per gathered frame set
     fg_masks: jnp.ndarray     # T×H×W float32
     bb: BBData
     fg_bank: TrajectoryBank
@@ -110,18 +111,24 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
         labels = constrain_batch(sample.t2_points_normalized[:, :2], mesh)
 
         def loss_fn(params):
+            # channels-last hot path: the resident stack arrives T×h'×w'×C
+            # (transposed once per fused call below), so the frame gather is
+            # a row DMA, the refiner skips its output transpose, and every
+            # correlation/sampling consumer keeps C on the lane axis
             refined, _, raw, new_stats = tracker.get_refined_embeddings(
                 params, state.batch_stats, data.video, data.dino_embed,
-                sample.frames_set_t, tcfg, train=True)
+                sample.frames_set_t, tcfg, train=True, channels_last=True)
             refined = constrain_batch(refined, mesh)
             # one cast+norm pass of the refined stack, shared by every loss
             # term (otherwise each re-reads the 265 MB stack to recompute it)
             view = tracker.make_frame_view(refined,
-                                           jnp.dtype(tcfg.compute_dtype))
+                                           jnp.dtype(tcfg.compute_dtype),
+                                           channels_last=True)
             metrics = {}
             # of targets vary per point -> flat all-frames+select path
             coords = tracker.get_point_predictions(params, inp, refined,
-                                                   tcfg, view=view)
+                                                   tcfg, view=view,
+                                                   channels_last=True)
             if use_cyc:
                 # cycle points come in fixed per-pair blocks with one
                 # target frame each -> blocked single-target correlations
@@ -130,11 +137,12 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                     k_cyc, params, refined, sample.frames_set_t, data.fg_masks,
                     tcfg, cfg.cyc_n_frames, cfg.cyc_batch_size_per_frame,
                     cfg.cyc_fg_points_ratio, cfg.cyc_thresh, view=view,
-                    mesh=mesh)
+                    mesh=mesh, channels_last=True)
                 l_cyc = cycle.cycle_consistency_loss(
                     params, refined, sample.frames_set_t, cyc_data, tcfg,
                     cfg.cyc_gamma, view=view,
-                    group_size=cfg.cyc_batch_size_per_frame, mesh=mesh)
+                    group_size=cfg.cyc_batch_size_per_frame, mesh=mesh,
+                    channels_last=True)
             else:
                 l_cyc = jnp.asarray(0.0)
             l_of = jnp.mean(losses.huber(coords, labels))
@@ -147,7 +155,7 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                     k_cl_ref, refined, sample.frames_set_t, data.fg_masks,
                     tcfg, cfg.cl_n_frames, cfg.cl_points_per_pair,
                     cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_ref_bb,
-                    view=view)
+                    view=view, channels_last=True)
                 metrics["loss_cl_refiner"] = l_cl_ref
                 total = total + cfg.lambda_cl_ref_bb * l_cl_ref
             else:
@@ -157,9 +165,12 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
                 k_cl_dino, refined, sample.frames_set_t, data.bb,
                 data.fg_masks, tcfg, cfg.cl_n_frames, cfg.cl_points_per_pair,
                 cfg.cl_fg_points_ratio, cfg.cl_temp, cfg.cl_div_dino_bb,
-                cfg.bb_amb_sig_a, cfg.bb_amb_sig_b, view=view)
-            l_norm = losses.emb_norm_regularization(refined, raw)
-            l_angle = losses.emb_angle_regularization(refined, raw)
+                cfg.bb_amb_sig_a, cfg.bb_amb_sig_b, view=view,
+                channels_last=True)
+            l_norm = losses.emb_norm_regularization(refined, raw,
+                                                    channels_last=True)
+            l_angle = losses.emb_angle_regularization(refined, raw,
+                                                      channels_last=True)
             total = (total + cfg.lambda_cl_dino_bb * l_cl_dino
                      + cfg.lambda_emb_norm * l_norm
                      + cfg.lambda_angle * l_angle)
@@ -175,11 +186,23 @@ def make_train_step(cfg: TrainConfig, tcfg: TrackerConfig,
         return TrainState(new_params, new_stats, new_opt_state,
                           state.step + 1), metrics
 
+    def to_channels_last(data: VideoData) -> VideoData:
+        # One T×h'×w'×C copy of the resident stack per fused call (≈2 ms for
+        # the f16 DAVIS-scale stack, amortized over steps_per_call iters).
+        # Inside the step every consumer then sees C-minor tiles; the r5
+        # trace showed the per-iter alternative — XLA relayouting the FULL
+        # channels-first stack inside the scan body to serve the 8-frame
+        # gather — at 5.7 ms/iter.
+        return data._replace(
+            dino_embed=jnp.transpose(data.dino_embed, (0, 2, 3, 1)))
+
     if steps_per_call == 1:
-        return jax.jit(train_step_body)
+        return jax.jit(lambda state, data, key: train_step_body(
+            state, to_channels_last(data), key))
 
     @jax.jit
     def train_multi(state: TrainState, data: VideoData, key):
+        data = to_channels_last(data)
         keys = jax.random.split(key, steps_per_call)
         def one(carry, k):
             new_state, metrics = train_step_body(carry, data, k)

@@ -178,6 +178,51 @@ def sample_feature_video(features_tchw, points_s3, normalize_t: bool = True,
     return out.T  # S×C
 
 
+def sample_feature_video_thwc(features_thwc, points_s3,
+                              normalize_t: bool = True):
+    """Channels-last twin of :func:`sample_feature_video`: T×H×W×C at S
+    (x, y, t) points -> S×C. Same trilinear math and torch semantics
+    (align_corners=True, border padding), but the volume is addressed as
+    (T·H·W) ROWS of C lanes — on TPU a row gather is a plain DMA (C=1024
+    fills the 128-lane registers), where the channels-first form needs the
+    whole 265 MB stack transposed to C×(T·H·W) and then gathers along the
+    lane axis (a measured 9.1 ms/iter of the r5 train-step trace). The
+    backward is a row scatter-add, the TPU-friendly scatter direction.
+    """
+    t, h, w, c = features_thwc.shape
+    x = points_s3[..., 0]
+    y = points_s3[..., 1]
+    z = points_s3[..., 2]
+    if normalize_t:
+        if t > 1:
+            z = z / (t - 1)
+        z = z * 2.0 - 1.0
+    x = jnp.clip(_unnormalize(x, w, True), 0.0, w - 1)
+    y = jnp.clip(_unnormalize(y, h, True), 0.0, h - 1)
+    z = jnp.clip(_unnormalize(z, t, True), 0.0, t - 1)
+
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    wz = (z - z0)[:, None]
+    flat = features_thwc.reshape(t * h * w, c)
+
+    def corner(zc, yc, xc):
+        it = jnp.clip(zc, 0, t - 1).astype(jnp.int32)
+        iy = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        ix = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        return flat[(it * h + iy) * w + ix]  # S×C row gather
+
+    c00 = corner(z0, y0, x0) * (1 - wx) + corner(z0, y0, x0 + 1) * wx
+    c01 = corner(z0, y0 + 1, x0) * (1 - wx) + corner(z0, y0 + 1, x0 + 1) * wx
+    c10 = corner(z0 + 1, y0, x0) * (1 - wx) + corner(z0 + 1, y0, x0 + 1) * wx
+    c11 = (corner(z0 + 1, y0 + 1, x0) * (1 - wx)
+           + corner(z0 + 1, y0 + 1, x0 + 1) * wx)
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wz) + c1 * wz
+
+
 def bilinear_sampler_pixel(img_nchw, coords_nhw2):
     """Flow-warp helper: sample at *pixel* coords (x, y), align_corners=True.
 

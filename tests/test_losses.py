@@ -262,7 +262,7 @@ def test_contrastive_vmap_pairs_match_per_pair_loop():
         tgt_f = contrastive._sample_embeddings_at(
             emb, bb.target_coords[sf, tf][sel],
             jnp.full((8,), tgt_sel[i]), cfg)
-        cl1, cl2 = losses.bb_pairs_contrastive_loss_cn(
+        cl1, cl2 = losses.bb_pairs_contrastive_loss_nc(
             src_f, tgt_f, view.flat_cd[src_sel[i]], view.flat_cd[tgt_sel[i]],
             view.norms[src_sel[i]], view.norms[tgt_sel[i]], 0.1)
         ws = jax.nn.sigmoid(27.0 * (1.0 - bb.r[sf, tf][sel]) - 5.7)
