@@ -259,6 +259,10 @@ def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4,
     Confirmed by the round-5 on-chip A/B (scripts/perf_toggle_ab.py,
     PERF.md round-5): selected as TrackerConfig.blurpool_impl's default.
 
+    ``impl="pallas"``: the hand-written TPU stencil kernel
+    (ops/blurpool.py) — reads each element once, exact f32 accumulation
+    (filt_size 4 / stride 2 only; falls back to the matmul form off-TPU).
+
     ``impl="conv"``: the per-channel grouped-conv form. (A separable
     strided-slice multiply-add formulation was also tried and measured
     SLOWER inside the full train program on TPU — strided slices along the
@@ -267,6 +271,12 @@ def blurpool(x_nhwc, stride: int = 2, filt_size: int = 4,
     c = x_nhwc.shape[-1]
     pl = (filt_size - 1) // 2
     pr = math.ceil((filt_size - 1) / 2)
+    if impl == "pallas" and filt_size == 4 and stride == 2:
+        import jax as _jax
+        if _jax.default_backend() not in ("cpu",):
+            from ..ops.blurpool import blurpool_pallas
+            return blurpool_pallas(x_nhwc)
+        impl = "matmul"  # interpret-mode kernels are for tests only
     if impl == "matmul":
         h, w = x_nhwc.shape[1], x_nhwc.shape[2]
         mh = jnp.asarray(_blur_reflect_axis_matrix(h, stride, filt_size))

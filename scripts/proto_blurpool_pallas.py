@@ -32,22 +32,43 @@ def make_kernels():
     # x: [N, H, W, C] -> y: [N, Ho, W, C], Ho = ceil(H/2)
     # y[o] = a0 x[2o-1] + a1 x[2o] + a2 x[2o+1] + a3 x[2o+2]
     # reflect: row -1 -> 1; rows H, H+1 -> H-2, H-3 (np 'reflect')
+    def _leading_taps(x, h: int):
+        """Four [ho]-row stencil taps along the LEADING axis via even/odd
+        de-interleave: reshape [h, ...] -> [h//2, 2, ...] (minor tiled dims
+        untouched — Mosaic-legal), then stride-1 slices + reflect-edge
+        concats. Mosaic supports neither >2-D gathers nor stride-2 slices;
+        this expresses the same taps with reshape+slice+concat only."""
+        ho = (h + 1) // 2
+        rest = x.shape[1:]
+        if h % 2 == 0:
+            pairs = x.reshape(h // 2, 2, *rest)
+            even = pairs[:, 0]   # rows 0,2,...,h-2  [ho]
+            odd = pairs[:, 1]    # rows 1,3,...,h-1  [ho]
+            # t0[o]=x[2o]=even; t1[o]=x[2o+1]=odd
+            # tm1[o]=x[2o-1]: odd[o-1], o=0 reflects to x[1]=odd[0]
+            tm1 = jnp.concatenate([odd[0:1], odd[:ho - 1]], axis=0)
+            # t2[o]=x[2o+2]: even[o+1], o=ho-1 reflects x[h] -> x[h-2]=even[ho-1]
+            t2 = jnp.concatenate([even[1:], even[ho - 1:ho]], axis=0)
+            return tm1, even, odd, t2
+        m = h // 2  # odd h: ho = m+1
+        pairs = x[:h - 1].reshape(m, 2, *rest)
+        even = jnp.concatenate([pairs[:, 0], x[h - 1:h]], axis=0)  # [ho]
+        odd = pairs[:, 1]                                          # [m]
+        t0 = even
+        # t1[o]=x[2o+1]: odd[o] for o<m; o=m: x[h] -> reflect x[h-2]=odd[m-1]
+        t1 = jnp.concatenate([odd, odd[m - 1:m]], axis=0)
+        tm1 = jnp.concatenate([odd[0:1], odd], axis=0)
+        # t2[o]=x[2o+2]: even[o+1] for o<m; o=m: x[h+1] -> x[h-3]=even[m-1]
+        t2 = jnp.concatenate([even[1:], even[m - 1:m]], axis=0)
+        return tm1, t0, t1, t2
+
     def _h_kernel(x_ref, o_ref, *, h: int):
         x = x_ref[0]  # [H, Wt, Ct]
-        ho = o_ref.shape[1]
-        # interior via strided slices (rows 1..2ho-2 exist for o>=1)
-        # build the four taps as [Ho, Wt, Ct] stacks with edge clamping
-        def tap(off):
-            # input row index per o: r = 2o + off, off in {-1,0,1,2}
-            # gather via one strided slice where possible + edge fixes
-            idx = jnp.arange(ho) * 2 + off
-            idx = jnp.where(idx < 0, -idx, idx)
-            idx = jnp.where(idx >= h, 2 * h - 2 - idx, idx)
-            return x[idx]
-        acc = (A[0] * tap(-1).astype(jnp.float32)
-               + A[1] * tap(0).astype(jnp.float32)
-               + A[2] * tap(1).astype(jnp.float32)
-               + A[3] * tap(2).astype(jnp.float32))
+        tm1, t0, t1, t2 = _leading_taps(x, h)
+        acc = (A[0] * tm1.astype(jnp.float32)
+               + A[1] * t0.astype(jnp.float32)
+               + A[2] * t1.astype(jnp.float32)
+               + A[3] * t2.astype(jnp.float32))
         o_ref[0] = acc.astype(o_ref.dtype)
 
     def blur_h(x, interpret=False):
@@ -68,40 +89,15 @@ def make_kernels():
             interpret=interpret,
         )(x)
 
-    # ---------------- forward W pass ----------------
-    def _w_kernel(x_ref, o_ref, *, w: int):
-        x = x_ref[0]  # [Ht, W, Ct]
-        wo = o_ref.shape[2]
-        def tap(off):
-            idx = jnp.arange(wo) * 2 + off
-            idx = jnp.where(idx < 0, -idx, idx)
-            idx = jnp.where(idx >= w, 2 * w - 2 - idx, idx)
-            return x[:, idx]
-        acc = (A[0] * tap(-1).astype(jnp.float32)
-               + A[1] * tap(0).astype(jnp.float32)
-               + A[2] * tap(1).astype(jnp.float32)
-               + A[3] * tap(2).astype(jnp.float32))
-        o_ref[0] = acc.astype(o_ref.dtype)
-
-    def blur_w(x, interpret=False):
-        n, h, w, c = x.shape
-        wo = (w + 1) // 2
-        ht = min(h, 16)
-        ct = min(c, 128)
-        grid = (n, -(-h // ht), -(-c // ct))
-        return pl.pallas_call(
-            functools.partial(_w_kernel, w=w),
-            grid=grid,
-            in_specs=[pl.BlockSpec((1, ht, w, ct),
-                                   lambda i, j, k: (i, j, 0, k))],
-            out_specs=pl.BlockSpec((1, ht, wo, ct),
-                                   lambda i, j, k: (i, j, 0, k)),
-            out_shape=jax.ShapeDtypeStruct((n, h, wo, c), x.dtype),
-            interpret=interpret,
-        )(x)
-
     def blurpool2(x, interpret=False):
-        return blur_w(blur_h(x, interpret), interpret)
+        # W pass = H pass on the (n, w, h, c) transpose: Mosaic supports the
+        # leading-axis de-interleave but neither strided slices nor sublane
+        # reshapes, and the two XLA transposes keep C on the lane axis
+        # (a cheap sublane permute) — measured vs in-kernel alternatives.
+        y = blur_h(x, interpret)
+        y = jnp.transpose(y, (0, 2, 1, 3))
+        y = blur_h(y, interpret)
+        return jnp.transpose(y, (0, 2, 1, 3))
 
     return blurpool2
 
