@@ -82,14 +82,25 @@ class ModelInference:
         # the full T-frame cache) is built once here instead of per dispatch.
         # Spec mode: with a ShapeDtypeStruct as ``refined_features`` no
         # device work happens at all — the instance can only prewarm().
+        #
+        # Internal layout is channels-last (T×h×w×C — the same r5 redesign
+        # as the train step: row-DMA sampling gathers, C-minor correlation
+        # GEMMs); the public ``refined_features`` field stays the NCHW
+        # artifact contract and is transposed once here (the NCHW array is
+        # kept — callers reuse the field to build further instances).
         if isinstance(self.refined_features, jax.ShapeDtypeStruct):
-            self._view = jax.eval_shape(
-                lambda r: tracker.make_frame_view(
-                    r, jnp.dtype(self.cfg.compute_dtype)),
-                self.refined_features)
+            st, sc, sh, sw = self.refined_features.shape
+            self._refined_cl = jax.ShapeDtypeStruct(
+                (st, sh, sw, sc), self.refined_features.dtype)
         else:
-            self._view = tracker.make_frame_view(
-                self.refined_features, jnp.dtype(self.cfg.compute_dtype))
+            self._refined_cl = jnp.transpose(self.refined_features,
+                                             (0, 2, 3, 1))
+        make_view = lambda r: tracker.make_frame_view(  # noqa: E731
+            r, jnp.dtype(self.cfg.compute_dtype), channels_last=True)
+        if isinstance(self._refined_cl, jax.ShapeDtypeStruct):
+            self._view = jax.eval_shape(make_view, self._refined_cl)
+        else:
+            self._view = make_view(self._refined_cl)
 
         def predict(params, refined, view, source_points, source_frames,
                     target_frames):
@@ -99,7 +110,7 @@ class ModelInference:
                                constrain_batch(target_frames, mesh),
                                frames_set)
             out = tracker.get_point_predictions(params, inp, refined, self.cfg,
-                                                view=view)
+                                                view=view, channels_last=True)
             return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
 
         _predict = jax.jit(predict)
@@ -108,9 +119,9 @@ class ModelInference:
         def dispatch(p, sp, sf, tf):
             if mesh is not None:
                 with mesh:
-                    return _predict(p, self.refined_features, self._view,
+                    return _predict(p, self._refined_cl, self._view,
                                     sp, sf, tf)
-            return _predict(p, self.refined_features, self._view, sp, sf, tf)
+            return _predict(p, self._refined_cl, self._view, sp, sf, tf)
 
         self._predict = dispatch
 
@@ -121,7 +132,7 @@ class ModelInference:
                 params, constrain_batch(source_points, mesh),
                 constrain_batch(source_frames, mesh),
                 constrain_batch(target_frames_bk, mesh),
-                refined, self.cfg, view=view)
+                refined, self.cfg, view=view, channels_last=True)
             return constrain_batch((out + 1.0) * 0.5 * scale, mesh)
 
         _predict_multi = jax.jit(predict_multi)
@@ -130,9 +141,9 @@ class ModelInference:
         def dispatch_multi(p, sp, sf, tf):
             if mesh is not None:
                 with mesh:
-                    return _predict_multi(p, self.refined_features, self._view,
+                    return _predict_multi(p, self._refined_cl, self._view,
                                           sp, sf, tf)
-            return _predict_multi(p, self.refined_features, self._view,
+            return _predict_multi(p, self._refined_cl, self._view,
                                   sp, sf, tf)
 
         self._predict_multi = dispatch_multi
@@ -147,7 +158,8 @@ class ModelInference:
             norm = cu.normalize_points_for_sampling(
                 traj_flat, self.cfg.video_h, self.cfg.video_w,
                 self.cfg.dino_patch_size, self.cfg.stride)
-            feats = tracker.sample_embeddings(refined, norm)
+            feats = tracker.sample_embeddings(refined, norm,
+                                              channels_last=True)
             n_p = query_frames.shape[0]
             feats = feats.reshape(n_p, -1, feats.shape[-1])  # N_p×T×C
             qf = feats[jnp.arange(n_p), query_frames]  # N_p×C
@@ -177,7 +189,7 @@ class ModelInference:
         as_spec = lambda tree: jax.tree.map(  # noqa: E731
             lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), tree)
         p_spec = as_spec(params)
-        r_spec = as_spec(self.refined_features)
+        r_spec = as_spec(self._refined_cl)
         v_spec = as_spec(self._view)
         t = self.refined_features.shape[0]
         f32, i32 = jnp.float32, jnp.int32
@@ -286,7 +298,7 @@ class ModelInference:
             traj = np.concatenate(
                 [traj, np.broadcast_to(traj[:1], (n_p - n,) + traj.shape[1:])])
             qf = np.concatenate([qf, np.zeros(n_p - n, np.int32)])
-        cos = self._cos_sims(self.refined_features,
+        cos = self._cos_sims(self._refined_cl,
                              jnp.asarray(traj.reshape(n_p * t, -1)),
                              jnp.asarray(qf))
         return cos[:n]
