@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # binomial [1,3,3,1]/8 — exact binary floats, matches blurpool_filter(4)
 A = (1.0 / 8.0, 3.0 / 8.0, 3.0 / 8.0, 1.0 / 8.0)
@@ -76,43 +77,57 @@ def _up_kernel(g_ref, o_ref, *, h: int):
     rest = g.shape[1:]
     zero = jnp.zeros((1, *rest), jnp.float32)
 
+    def one_hot_row(row, n, idx):
+        """[n, ...] tensor that is ``row`` at position idx, zero elsewhere —
+        via concat (Mosaic has no scatter; .at[].add lowers to scatter-add)."""
+        parts = []
+        if idx > 0:
+            parts.append(jnp.zeros((idx, *rest), jnp.float32))
+        parts.append(row)
+        if idx < n - 1:
+            parts.append(jnp.zeros((n - 1 - idx, *rest), jnp.float32))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     g_prev = jnp.concatenate([zero, g[:ho - 1]], axis=0)   # g[j-1]
     g_next = jnp.concatenate([g[1:], zero], axis=0)        # g[j+1]
 
     if h % 2 == 0:
         # j = 0..ho-1 for both parities
-        gx_even = A[1] * g + A[3] * g_prev
-        gx_odd = A[0] * g_next + A[2] * g
         # boundaries: gx[1] += a0 g[0]  (odd j=0);  gx[h-2] += a3 g[ho-1]
         # (even j=ho-1)
-        gx_odd = gx_odd.at[0:1].add(A[0] * g[0:1])
-        gx_even = gx_even.at[ho - 1:ho].add(A[3] * g[ho - 1:ho])
+        gx_even = (A[1] * g + A[3] * g_prev
+                   + one_hot_row(A[3] * g[ho - 1:ho], ho, ho - 1))
+        gx_odd = (A[0] * g_next + A[2] * g
+                  + one_hot_row(A[0] * g[0:1], ho, 0))
         gx = jnp.stack([gx_even, gx_odd], axis=1).reshape(h, *rest)
     else:
         m = h // 2  # ho = m+1
-        gx_even = A[1] * g + A[3] * g_prev                  # [ho]
-        gx_odd = A[0] * g[1:] + A[2] * g[:m]                # [m]
         # boundaries: gx[1] += a0 g[0]; gx[h-2] += a2 g[m] (odd j=m-1);
         # gx[h-3] += a3 g[m] (even j=m-1)
-        gx_odd = gx_odd.at[0:1].add(A[0] * g[0:1])
-        gx_odd = gx_odd.at[m - 1:m].add(A[2] * g[ho - 1:ho])
-        gx_even = gx_even.at[m - 1:m].add(A[3] * g[ho - 1:ho])
+        gx_even = (A[1] * g + A[3] * g_prev
+                   + one_hot_row(A[3] * g[ho - 1:ho], ho, m - 1))  # [ho]
+        gx_odd = (A[0] * g[1:] + A[2] * g[:m]
+                  + one_hot_row(A[0] * g[0:1], m, 0)
+                  + one_hot_row(A[2] * g[ho - 1:ho], m, m - 1))    # [m]
         gx = jnp.concatenate(
             [jnp.stack([gx_even[:m], gx_odd], axis=1).reshape(2 * m, *rest),
              gx_even[m:m + 1]], axis=0)
     o_ref[0] = gx.astype(o_ref.dtype)
 
 
-def _tiles(w: int, c: int):
+def _tiles(rows: int, w: int, c: int, budget_bytes: int = 8 << 20):
+    """W/C tile sizes such that a [rows, wt, ct] bf16 block stays under
+    ``budget_bytes`` — the raised vmem_limit_bytes (100 MB) must hold the
+    double-buffered in+out windows plus the kernel's f32 tap/accumulator
+    intermediates (~5x the out window)."""
     ct = min(c, 128)
-    # keep the (rows × wt × ct) block a few MB of VMEM
-    wt = min(w, 128 if c >= 128 else 512)
+    wt = max(8, min(w, budget_bytes // (rows * ct * 2) // 8 * 8))
     return wt, ct
 
 
 def _leading_pass(kernel, x, out_rows: int, interpret: bool):
     n, h, w, c = x.shape
-    wt, ct = _tiles(w, c)
+    wt, ct = _tiles(max(h, out_rows), w, c)
     grid = (n, -(-w // wt), -(-c // ct))
     return pl.pallas_call(
         functools.partial(kernel, h=out_rows if kernel is _up_kernel else h),
@@ -122,6 +137,11 @@ def _leading_pass(kernel, x, out_rows: int, interpret: bool):
                                lambda i, j, k: (i, 0, j, k)),
         out_shape=jax.ShapeDtypeStruct((n, out_rows, w, c), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            # the tap/concat intermediates live on the kernel stack; the
+            # default 16 MB scoped-VMEM limit rejects the L1 column blocks
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x)
 
 
