@@ -33,10 +33,13 @@ class RaftFlowEngine:
     params: dict
     video_tchw: np.ndarray  # [0,1] float32 at inference resolution
     num_iters: int = 24
-    # 16 pairs/dispatch: decode time is flat per-pair from 8 up (PERF r2),
-    # so the bigger batch purely halves relay round trips; einsum-lookup
-    # peak memory at 476×854 is ~4 GB (pyramids freed between directions)
-    pair_batch: int = 16
+    # 8 pairs/dispatch: per-slot decode cost is flat from 8 up (PERF r2),
+    # and the per-start direct sweep rounds its pair count UP to a whole
+    # batch — at 16 the DAVIS sweep wasted ~32% of its decoded slots on
+    # tail padding (r5 probe), at 8 it wastes ~13%. einsum-lookup peak
+    # memory at 476×854 stays well inside HBM (pyramids freed between
+    # directions).
+    pair_batch: int = 8
     encode_batch: int = 8
     mesh: Optional[object] = None  # jax.sharding.Mesh: shard pair/frame axes
     compute_dtype: object = jnp.float32  # bf16 convs/GRU (corr + flow stay f32)

@@ -145,24 +145,27 @@ def _chain_dual(flows_fwd, flows_bwd, start_frame, dflows, dflow_masks,
     to masking at spawn, and it decouples the device program from the
     sequential host-side occupancy state (starts can be dispatched ahead).
 
-    Also unlike ``_chain_from_start`` (the single-pass oracle kept for tests
-    and alternate engines), the time loop is a ``fori_loop`` starting AT
-    ``start_frame`` writing timeline rows in place — the full-range scan
-    spent ~half its steps on pre-start identity work on average
-    (measured 1.0-1.6 s/start at DAVIS scale, scripts/perf_traj_probe.py).
+    The time loop is a full-range ``lax.scan`` whose per-step timeline rows
+    come out as STACKED SCAN OUTPUTS. An earlier revision ran a
+    ``fori_loop`` starting at ``start_frame`` with two
+    ``dynamic_update_slice`` writes into carried t×h×w×2 timelines —
+    skipping the pre-start steps but paying an unaliased copy of both 81 MB
+    carries per step (~27 ms/step, ~33 s/video measured by the r5 residual
+    probe); the scan's output rows are written in place, and the pre-start
+    identity steps it re-admits cost ~100x less than the copies did.
 
     Returns (timeline_filtered, timeline_unfiltered), each t×h×w×2 float32
     with NaNs for dead/never-born entries.
     """
     tm1, _, h, w = flows_fwd.shape
-    t = tm1 + 1
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     grid = jnp.stack([xs, ys], axis=-1)  # h×w×2
     upper = jnp.asarray([w - 1.0, h - 1.0])
 
-    def body(idx, carry):
-        coords, alive_f, alive_u, tl_f, tl_u = carry
+    def step(carry, idx):
+        coords, alive_f, alive_u = carry
+        active = idx >= start_frame
         fwd = flows_fwd[idx]
         bwd = flows_bwd[idx]
         warped_fwd = jnp.transpose(
@@ -174,27 +177,37 @@ def _chain_dual(flows_fwd, flows_bwd, start_frame, dflows, dflow_masks,
         err = jnp.linalg.norm(coords - coords2, axis=-1)
         in_bounds = jnp.all((coords1 >= 0.0) & (coords1 <= upper), axis=-1)
         ok = (err < threshold) & in_bounds
-        alive_u = alive_u & ok
+        new_alive_u = alive_u & ok
         # direct-flow row for target frame idx+1 is dflows[idx - start]
         drow = jnp.clip(idx - start_frame, 0, tm1 - 1)
         err_d = jnp.linalg.norm(coords1 - (grid + dflows[drow]), axis=-1)
         err_d = err_d * (dflow_masks[drow] > 0.2)
-        alive_f = alive_f & ok & (err_d < direct_threshold)
-        out_f = jnp.where(alive_f[..., None], coords1, jnp.nan)
-        out_u = jnp.where(alive_u[..., None], coords1, jnp.nan)
-        tl_f = jax.lax.dynamic_update_slice(tl_f, out_f[None],
-                                            (idx + 1, 0, 0, 0))
-        tl_u = jax.lax.dynamic_update_slice(tl_u, out_u[None],
-                                            (idx + 1, 0, 0, 0))
-        return (coords1, alive_f, alive_u, tl_f, tl_u)
+        new_alive_f = alive_f & ok & (err_d < direct_threshold)
+        coords = jnp.where(active, coords1, coords)
+        alive_f = jnp.where(active, new_alive_f, alive_f)
+        alive_u = jnp.where(active, new_alive_u, alive_u)
+        out_f = jnp.where(alive_f[..., None], coords, jnp.nan)
+        out_u = jnp.where(alive_u[..., None], coords, jnp.nan)
+        return (coords, alive_f, alive_u), (out_f, out_u)
 
-    nan_tl = jnp.full((t, h, w, 2), jnp.nan, jnp.float32)
-    tl0 = jax.lax.dynamic_update_slice(nan_tl, grid[None],
-                                       (start_frame, 0, 0, 0))
     alive0 = jnp.ones((h, w), bool)
-    carry = (grid, alive0, alive0, tl0, tl0)
-    carry = jax.lax.fori_loop(start_frame, tm1, body, carry)
-    return carry[3], carry[4]
+    _, (rest_f, rest_u) = jax.lax.scan(step, (grid, alive0, alive0),
+                                       jnp.arange(tm1))
+
+    frames = jnp.arange(tm1 + 1)
+    first = grid[None]  # the spawn row (every pixel alive at start_frame)
+
+    def timeline(rest):
+        # frame f < start -> NaN; f == start -> grid; f > start ->
+        # rest[f-1] (pre-start rest rows are identity junk, masked here)
+        shifted = jnp.concatenate([jnp.full_like(first, jnp.nan), rest],
+                                  axis=0)
+        return jnp.where(
+            (frames[:, None, None, None] == start_frame), first,
+            jnp.where(frames[:, None, None, None] > start_frame, shifted,
+                      jnp.nan))
+
+    return timeline(rest_f), timeline(rest_u)
 
 
 def _make_fused_start_program(decode_fn, threshold: float,
@@ -215,6 +228,33 @@ def _make_fused_start_program(decode_fn, threshold: float,
         return tl_f, tl_u, _keep_mask(tl_f, min_len), _keep_mask(tl_u, min_len)
 
     return mega
+
+
+def _make_fused_group_program(decode_fn, threshold: float,
+                              direct_threshold: float, min_len: int):
+    """G start frames per dispatch: ``lax.map`` of the single-start body
+    over a [G] start vector, returning stacked timelines/keeps.
+
+    The r5 trajectories probe measured a flat ~1.2-1.4 s per start-frame
+    dispatch (relay round trip + fetch sync) on top of the decode compute —
+    ~60 s across DAVIS's 49 starts. Grouping divides that overhead by G
+    while the per-start math (dynamic-trip decode fori + dual chain) is
+    unchanged. The map serializes its G bodies on device — that is the
+    point: one dispatch, G starts of back-to-back compute."""
+
+    @jax.jit
+    def mega_group(operands, flows_fwd, flows_bwd, starts_g, thresh):
+        def one(start):
+            dflows, dmasks = decode_fn(*operands, start, thresh)
+            tl_f, tl_u = _chain_dual(flows_fwd, flows_bwd, start, dflows,
+                                     dmasks, threshold=threshold,
+                                     direct_threshold=direct_threshold)
+            return (tl_f, tl_u, _keep_mask(tl_f, min_len),
+                    _keep_mask(tl_u, min_len))
+
+        return jax.lax.map(one, starts_g)
+
+    return mega_group
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "direct_threshold",
@@ -353,6 +393,7 @@ def extract_trajectories_dual(
         direct_flow_fn: Optional[Callable[[int], Tuple[np.ndarray, np.ndarray]]] = None,
         look_behind: bool = True,
         mesh=None,
+        start_group: int = 4,
         progress: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """BOTH extraction passes (with and without the direct-flow filter) in
     one sweep over start frames -> (filtered N×t×2, unfiltered M×t×2).
@@ -382,16 +423,18 @@ def extract_trajectories_dual(
 
     if decode is not None:
         decode_fn, operands = decode
-        mega = _make_fused_start_program(
+        group = max(1, int(start_group))
+        mega = _make_fused_group_program(
             decode_fn, threshold=threshold,
             direct_threshold=direct_flow_threshold, min_len=min_len)
         thresh_dev = jnp.asarray(threshold, jnp.float32)
 
-        def dispatch(start):
+        def dispatch_group(gstarts):
             return mega(operands, flows_fwd, flows_bwd,
-                        jnp.asarray(start, jnp.int32), thresh_dev)
+                        jnp.asarray(gstarts, jnp.int32), thresh_dev)
     else:
         assert direct_flow_fn is not None
+        group = 1
 
         def padded_direct(start):
             dflows_in, dmasks_in = direct_flow_fn(start)
@@ -404,21 +447,30 @@ def extract_trajectories_dual(
                                ).at[:n].set(jnp.asarray(dmasks_in))
             return dflows, dmasks
 
-        def dispatch(start):
+        def dispatch_one(start):
             dflows, dmasks = padded_direct(start)
             return _dual_start_program(
                 flows_fwd, flows_bwd, jnp.asarray(start, jnp.int32),
                 dflows, dmasks, threshold=threshold,
                 direct_threshold=direct_flow_threshold, min_len=min_len)
 
+        def dispatch_group(gstarts):
+            outs = [dispatch_one(s) for s in gstarts]
+            return tuple(list(x) for x in zip(*outs))
+
     occupied = {"f": np.zeros((t, h, w), bool),
                 "u": np.zeros((t, h, w), bool)}
     collected = {"f": [], "u": []}
     starts = list(range(t - (min_len - 1)))
-    iterator = starts
+    # fixed-size start groups (last group padded by repeating its final
+    # start; the duplicate slots are skipped at harvest) so ONE program
+    # serves every group
+    groups = [starts[i:i + group] for i in range(0, len(starts), group)]
+    padded_groups = [g + [g[-1]] * (group - len(g)) for g in groups]
+    iterator = groups
     if progress:
         from tqdm import tqdm
-        iterator = tqdm(starts, desc="chaining trajectories (dual)")
+        iterator = tqdm(groups, desc="chaining trajectories (dual)")
 
     def harvest(key, timeline, keep_dev, start):
         elig = ~masks[start]
@@ -446,21 +498,26 @@ def extract_trajectories_dual(
                     occupied[key][f, yi[f, sel], xi[f, sel]] = True
 
     if mesh is not None:
-        inner = dispatch
+        inner = dispatch_group
 
-        def dispatch(start):
+        def dispatch_group(gstarts):
             with mesh:
-                return inner(start)
+                return inner(gstarts)
 
-    # double buffer: next start's whole-program dispatch is enqueued (JAX
-    # dispatch is async) before this start's host-blocking fetch/assembly
-    pending = dispatch(starts[0]) if starts else None
-    for i, start in enumerate(iterator):
+    # double buffer: the next group's whole-program dispatch is enqueued
+    # (JAX dispatch is async) before this group's host-blocking
+    # fetch/assembly
+    pending = dispatch_group(padded_groups[0]) if groups else None
+    for i, g in enumerate(iterator):
         tl_f, tl_u, keep_f, keep_u = pending
-        if i + 1 < len(starts):
-            pending = dispatch(starts[i + 1])
-        harvest("f", tl_f, keep_f, start)
-        harvest("u", tl_u, keep_u, start)
+        if i + 1 < len(groups):
+            pending = dispatch_group(padded_groups[i + 1])
+        # ONE host fetch per keep stack per group (vs one per start) — the
+        # per-fetch relay round trip was a measured slice of the stage
+        keep_f, keep_u = np.asarray(keep_f), np.asarray(keep_u)
+        for k, start in enumerate(g):  # padding duplicates not in g
+            harvest("f", tl_f[k], keep_f[k], start)
+            harvest("u", tl_u[k], keep_u[k], start)
 
     def assemble(key):
         if not collected[key]:

@@ -142,3 +142,43 @@ def test_dual_extraction_matches_two_single_passes():
     np.testing.assert_array_equal(got_u, want_u)
     # the two passes genuinely diverge in this setup
     assert want_f.shape[0] != want_u.shape[0]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("start_group", [1, 3, 4])
+def test_grouped_decode_path_matches_fallback(start_group):
+    """The traceable-decode path with multi-start group dispatch (the
+    production TPU path; groups padded by repeating the last start) must
+    equal the per-start fallback path element-for-element."""
+    t, h, w = 6, 12, 14
+    fwd, bwd = _noisy_flows(t, h, w)
+    direct_fn = _disagreeing_direct_fn(t, h, w)
+
+    # fake traceable decode: same fields as direct_fn, pure-jnp, padded to
+    # the (t-1) rows the engine contract specifies
+    base = np.zeros((t - 1, h, w, 2), np.float32)
+    for k in range(t - 1):
+        base[k, :, :, 0] = 1.0 * (k + 1)
+    base[:, : h // 2, :, 0] += 50.0
+    base_dev = jnp.asarray(base)
+
+    def decode_fn(_unused, start, thresh):
+        n = t - 1
+        k = jnp.arange(n)
+        # rows are relative to `start`: row k = direct flow start -> start+1+k
+        rows = jnp.clip(k, 0, n - 1)
+        dflows = jnp.where((k < n - start)[:, None, None, None],
+                           base_dev[rows], 0.0)
+        dmasks = jnp.where((k < n - start)[:, None, None],
+                           jnp.ones((n, h, w), jnp.float32), 0.0)
+        return dflows, dmasks
+
+    want_f, want_u = traj_lib.extract_trajectories_dual(
+        fwd, bwd, threshold=1.0, direct_flow_fn=direct_fn,
+        direct_flow_threshold=2.5, min_trajectory_length=2)
+    got_f, got_u = traj_lib.extract_trajectories_dual(
+        fwd, bwd, threshold=1.0, decode=(decode_fn, (jnp.zeros(()),)),
+        direct_flow_threshold=2.5, min_trajectory_length=2,
+        start_group=start_group)
+    np.testing.assert_array_equal(got_f, want_f)
+    np.testing.assert_array_equal(got_u, want_u)
