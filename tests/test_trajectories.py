@@ -182,3 +182,12 @@ def test_grouped_decode_path_matches_fallback(start_group):
         start_group=start_group)
     np.testing.assert_array_equal(got_f, want_f)
     np.testing.assert_array_equal(got_u, want_u)
+
+    if start_group == 4:  # mesh-wrapped group dispatch path (one variant)
+        from dino_tracker_tpu.parallel.mesh import make_mesh
+        m_f, m_u = traj_lib.extract_trajectories_dual(
+            fwd, bwd, threshold=1.0, decode=(decode_fn, (jnp.zeros(()),)),
+            direct_flow_threshold=2.5, min_trajectory_length=2,
+            mesh=make_mesh(8), start_group=4)
+        np.testing.assert_array_equal(np.asarray(m_f), want_f)
+        np.testing.assert_array_equal(np.asarray(m_u), want_u)
